@@ -1,0 +1,131 @@
+"""Pixel-aligned feature sampling (the TPU equivalent of CUDA ``F.grid_sample``).
+
+The reference's hottest memory op is bilinear feature-map sampling at scattered ray
+points, done by torch's CUDA grid_sample kernel (encoder.py:182-205).  Here it is an
+XLA gather: features are kept NHWC (the natural TPU conv layout), flattened to
+(B, H*W, C), and the four bilinear corners are fetched with ``take_along_axis`` then
+lerped on the VPU.  XLA fuses the address math + gathers + lerp into a single loop,
+so there is no intermediate (B, N, 2) grid tensor like in torch.
+
+Semantics match ``torch.nn.functional.grid_sample`` with ``align_corners=True`` and
+padding modes border / zeros / reflection, plus nearest/bilinear interpolation — the
+exact configuration surface of the reference encoder (encoder.py:23-26,51-55).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _unnormalize(coord: Array, size: int, align_corners: bool) -> Array:
+    """[-1, 1] -> pixel coordinates."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(x: Array, lo: float, hi: float) -> Array:
+    """Reflect coordinates into [lo, hi] (torch 'reflection', align_corners=True)."""
+    if lo == hi:
+        return jnp.zeros_like(x)
+    span = hi - lo
+    x = jnp.abs(x - lo) % (2 * span)
+    return hi - jnp.abs(x - span)
+
+
+def grid_sample(
+    feat: Array,
+    uv: Array,
+    align_corners: bool = True,
+    padding_mode: str = "border",
+    mode: str = "bilinear",
+) -> Array:
+    """Sample `feat` at normalized points `uv`.
+
+    :param feat: (B, H, W, C) feature maps (NHWC — TPU conv layout)
+    :param uv: (B, N, 2) sample points in [-1, 1], uv[..., 0]=x, uv[..., 1]=y
+    :param padding_mode: 'border' | 'zeros' | 'reflection'
+    :param mode: 'bilinear' | 'nearest'
+    :return: (B, N, C) sampled features
+    """
+    B, H, W, C = feat.shape
+    x = _unnormalize(uv[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(uv[..., 1].astype(jnp.float32), H, align_corners)
+
+    if padding_mode == "reflection":
+        x = _reflect(x, 0.0, float(W - 1))
+        y = _reflect(y, 0.0, float(H - 1))
+
+    flat = feat.reshape(B, H * W, C)
+
+    def gather(ix: Array, iy: Array) -> Array:
+        idx = (iy * W + ix).astype(jnp.int32)  # (B, N)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
+
+    if mode == "nearest":
+        # torch rounds half away from bankers' semantics here; round-to-nearest-even
+        # differences only matter at exact .5 boundaries.
+        ix = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+        out = gather(ix, iy)
+        if padding_mode == "zeros":
+            valid = (
+                (x >= -0.5) & (x <= W - 0.5) & (y >= -0.5) & (y <= H - 0.5)
+            )
+            out = out * valid[..., None].astype(out.dtype)
+        return out
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"grid_sample mode {mode!r}")
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f  # (B, N)
+    wy = y - y0f
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+
+    v00 = gather(x0c, y0c)
+    v01 = gather(x1c, y0c)
+    v10 = gather(x0c, y1c)
+    v11 = gather(x1c, y1c)
+
+    if padding_mode == "zeros":
+        def in_x(ix):
+            return ((ix >= 0) & (ix <= W - 1)).astype(jnp.float32)
+
+        def in_y(iy):
+            return ((iy >= 0) & (iy <= H - 1)).astype(jnp.float32)
+
+        m00 = (in_x(x0) * in_y(y0))[..., None]
+        m01 = (in_x(x1) * in_y(y0))[..., None]
+        m10 = (in_x(x0) * in_y(y1))[..., None]
+        m11 = (in_x(x1) * in_y(y1))[..., None]
+        v00, v01, v10, v11 = v00 * m00, v01 * m01, v10 * m10, v11 * m11
+    # 'border' and 'reflection' are handled by clamping/reflecting coordinates.
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_bilinear(feat: Array, out_h: int, out_w: int) -> Array:
+    """Bilinear resize with half-pixel centers (= torch F.interpolate
+    align_corners=False), used by the fusion modules to unify feature-map scales
+    (feature_fusion.py:104-113).  feat: (B, H, W, C)."""
+    import jax
+
+    B, H, W, C = feat.shape
+    return jax.image.resize(feat, (B, out_h, out_w, C), method="linear")

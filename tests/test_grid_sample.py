@@ -1,0 +1,94 @@
+"""Parity tests: ops.grid_sample vs torch.nn.functional.grid_sample.
+
+The reference relies on CUDA grid_sample for pixel-aligned feature indexing
+(encoder.py:182-205, align_corners=True, border padding). Our XLA gather must
+match those numerics bit-closely for checkpoint/PSNR parity.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pixelnerf_tpu.ops import grid_sample as _gs_fn, resize_bilinear as _rb_fn
+
+
+class gs:
+    grid_sample = staticmethod(_gs_fn)
+    resize_bilinear = staticmethod(_rb_fn)
+
+
+def _torch_ref(feat_nhwc, uv, mode, padding, align):
+    feat_t = torch.from_numpy(np.transpose(feat_nhwc, (0, 3, 1, 2)))
+    grid = torch.from_numpy(uv[:, None])  # (B, 1, N, 2)
+    out = F.grid_sample(
+        feat_t, grid, mode=mode, padding_mode=padding, align_corners=align
+    )
+    return out.squeeze(2).transpose(1, 2).numpy()  # (B, N, C)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros", "reflection"])
+def test_bilinear_matches_torch(padding):
+    rng = np.random.default_rng(0)
+    B, H, W, C, N = 2, 7, 9, 5, 64
+    feat = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    # include far out-of-range points to exercise padding
+    uv = rng.uniform(-1.7, 1.7, size=(B, N, 2)).astype(np.float32)
+    ours = np.asarray(
+        gs.grid_sample(feat, uv, align_corners=True, padding_mode=padding)
+    )
+    ref = _torch_ref(feat, uv, "bilinear", padding, True)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_bilinear_in_range_tight():
+    rng = np.random.default_rng(1)
+    B, H, W, C, N = 1, 16, 16, 8, 200
+    feat = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    uv = rng.uniform(-0.99, 0.99, size=(B, N, 2)).astype(np.float32)
+    ours = np.asarray(gs.grid_sample(feat, uv))
+    ref = _torch_ref(feat, uv, "bilinear", "border", True)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_nearest_matches_torch_off_half_pixels():
+    rng = np.random.default_rng(2)
+    B, H, W, C, N = 2, 8, 8, 3, 128
+    feat = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    uv = rng.uniform(-0.95, 0.95, size=(B, N, 2)).astype(np.float32)
+    # nudge off exact .5 pixel-center boundaries where rounding rules differ
+    px = (uv + 1) * 0.5 * (np.array([W, H]) - 1)
+    frac = px - np.floor(px)
+    uv = np.where(np.abs(frac - 0.5)[..., :] < 1e-3, uv + 5e-3, uv).astype(
+        np.float32
+    )
+    ours = np.asarray(gs.grid_sample(feat, uv, mode="nearest"))
+    ref = _torch_ref(feat, uv, "nearest", "border", True)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_exact_grid_points():
+    """Sampling exactly at pixel centers returns the pixel values."""
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 4, 6, 2
+    feat = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    u = xs.reshape(-1) / (W - 1) * 2 - 1
+    v = ys.reshape(-1) / (H - 1) * 2 - 1
+    uv = np.stack([u, v], axis=-1)[None].astype(np.float32)
+    out = np.asarray(gs.grid_sample(feat, uv))
+    np.testing.assert_allclose(out[0], feat[0].reshape(-1, C), atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch():
+    rng = np.random.default_rng(4)
+    feat = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(gs.resize_bilinear(feat, 16, 16))
+    ref = F.interpolate(
+        torch.from_numpy(np.transpose(feat, (0, 3, 1, 2))),
+        size=(16, 16),
+        mode="bilinear",
+        align_corners=False,
+    )
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
