@@ -261,6 +261,24 @@ def _parse_value(text: str) -> Any:
     return _parse_scalar(text)
 
 
+def _split_statements(text: str) -> List[str]:
+    """Split `a = 1, b = 2` style same-line statements on top-level commas
+    (commas inside [] are list separators, not statement separators)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 class _Parser:
     def __init__(self, lines: List[str], base_dir: str):
         self.lines = lines
@@ -289,7 +307,11 @@ class _Parser:
                 if not top_level:
                     raise ValueError("Unexpected end of file inside block")
                 return
-            if line == "}":
+            if line.replace("}", "").strip() == "" and "}" in line:
+                # one or more closing braces; requeue the extras
+                n_close = line.count("}")
+                for _ in range(n_close - 1):
+                    self.lines.insert(self.pos, "}")
                 if top_level:
                     raise ValueError("Unbalanced '}'")
                 return
@@ -302,44 +324,23 @@ class _Parser:
                 tree.merge(parse_file(inc_path))
                 continue
 
-            # `key {` or `key = {` opens a nested block.
-            block_m = re.match(r"^([\w.\-]+)\s*(?:[=:]\s*)?\{\s*$", line)
-            if block_m:
-                key = block_m.group(1)
-                sub = tree.get(key)
-                if not isinstance(sub, ConfigTree):
-                    sub = ConfigTree()
-                    tree.put(key, sub)
-                self.parse_block(sub, top_level=False)
-                continue
-
-            # `key { inline }` single-line block.
-            inline_m = re.match(r"^([\w.\-]+)\s*(?:[=:]\s*)?\{(.*)\}\s*$", line)
-            if inline_m:
-                key, body = inline_m.group(1), inline_m.group(2)
-                sub = tree.get(key)
-                if not isinstance(sub, ConfigTree):
-                    sub = ConfigTree()
-                    tree.put(key, sub)
-                inner = _Parser(body.split(","), self.base_dir)
-                inner.parse_block(sub, top_level=True)
-                continue
-
-            # `key { stmt` — block opened with content trailing on the same line;
-            # re-queue the remainder as the block's first line.
-            open_m = re.match(r"^([\w.\-]+)\s*(?:[=:]\s*)?\{(.+)$", line)
+            # `key {` opens a nested block; any same-line remainder (statements,
+            # closing braces) is split and re-queued ahead of the block body.
+            open_m = re.match(r"^([\w.\-]+)\s*(?:[=:]\s*)?\{\s*(.*)$", line)
             if open_m:
                 key, rest = open_m.group(1), open_m.group(2).strip()
                 sub = tree.get(key)
                 if not isinstance(sub, ConfigTree):
                     sub = ConfigTree()
                     tree.put(key, sub)
-                self.lines.insert(self.pos, rest)
+                if rest:
+                    for stmt in reversed(_split_statements(rest)):
+                        self.lines.insert(self.pos, stmt)
                 self.parse_block(sub, top_level=False)
                 continue
 
-            # Plain assignment, possibly with trailing block-closers `b = 2 }`.
-            kv_m = re.match(r"^([\w.\-]+)\s*[=:]\s*(.+?)\s*(\}*)\s*$", line)
+            # Plain assignment, possibly with trailing block-closers `b = 2 } }`.
+            kv_m = re.match(r"^([\w.\-]+)\s*[=:]\s*(.+?)((?:\s*\})*)\s*$", line)
             if kv_m:
                 key, raw, closers = (
                     kv_m.group(1),
@@ -347,7 +348,7 @@ class _Parser:
                     kv_m.group(3),
                 )
                 tree.put(key, _parse_value(raw))
-                for _ in closers:
+                for _ in range(closers.count("}")):
                     self.lines.insert(self.pos, "}")
                 continue
 

@@ -1,0 +1,341 @@
+"""PixelNeRF network — functional encode/query on TPU.
+
+Semantics are the upstream-faithful reference model (models.py.backup2:98-282):
+
+  * ``encode``: ResNet feature pyramid per source view; poses inverted to
+    world->camera (backup2:121-123); focal y negated (backup2:139); principal point
+    defaults to image center (backup2:141-143); optional multi-scale smart fusion
+    (fork models.py:67-95,196-201) and global code (backup2:62-66,152-153).
+  * ``query``: world points transformed into each source view's camera space,
+    z/xyz (+ optionally positionally-encoded) coordinate feature, viewdirs rotated
+    per view (backup2:193-205), perspective projection ``uv = -xy/z * focal + c``
+    (backup2:215-221), pixel-aligned feature indexing, ResnetFC with multi-view
+    averaging at ``combine_layer``, ``sigmoid(rgb) / relu(sigma)`` outputs
+    (backup2:279).
+
+The key TPU re-design: the reference mutates module attributes at encode time
+(models.py:203-208), which is jit-hostile.  Here ``encode`` *returns* an
+:class:`EncodedScene` pytree that is threaded explicitly through ``query`` — the
+whole render step jits as one pure function, and the scene pytree shards/replicates
+cleanly over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config.hocon import ConfigTree
+from ..utils.geometry import invert_poses, repeat_interleave
+from .code import PositionalEncoding
+from .encoder import GlobalEncoder, SpatialEncoder
+from .fusion import AdaptiveFeatureSampler, SmartFeatureFusion
+from .mlp import ImplicitNet
+from .resnetfc import ResnetFC
+
+Array = jnp.ndarray
+
+
+class EncodedScene(flax.struct.PyTreeNode):
+    """Everything ``query`` needs about the conditioned source views.
+
+    Shapes use B = SB * NS (object superbatch x source views, flattened).
+    """
+
+    latents: Any  # (B, H_l, W_l, C) map, or tuple of per-scale maps
+    poses: Array  # (B, 3, 4) world -> camera
+    focal: Array  # (B, 2) [fx, -fy] in pixels
+    c: Array  # (B, 2) principal point in pixels
+    global_latent: Optional[Array] = None  # (B, C_g)
+    image_shape: Tuple[int, int] = flax.struct.field(
+        pytree_node=False, default=(0, 0)
+    )  # (W, H)
+    num_views_per_obj: int = flax.struct.field(pytree_node=False, default=1)
+
+
+def _make_mlp(conf: ConfigTree, d_in: int, d_latent: int, name: str, allow_empty=False):
+    """Factory mirroring reference model_util.make_mlp (model_util.py:5-15)."""
+    mlp_type = conf.get_string("type", "mlp")
+    if mlp_type == "mlp":
+        return ImplicitNet.from_conf(conf, d_in + d_latent, name=name)
+    if mlp_type == "resnet":
+        return ResnetFC.from_conf(conf, d_latent=d_latent, name=name)
+    if mlp_type == "empty" and allow_empty:
+        return None
+    raise NotImplementedError("Unsupported MLP type")
+
+
+class PixelNeRFNet(nn.Module):
+    """Conditioned NeRF field.  Construct with :func:`make_model` / ``from_conf``."""
+
+    conf_dict: Any  # frozen dict snapshot of the `model` conf subtree
+    stop_encoder_grad: bool = False
+
+    @property
+    def conf(self) -> ConfigTree:
+        return ConfigTree(_unfreeze(self.conf_dict))
+
+    # ---------------- static wiring derived from conf ----------------
+    def setup(self):
+        conf = self.conf
+        self.use_encoder = conf.get_bool("use_encoder", True)
+        self.use_xyz = conf.get_bool("use_xyz", False)
+        assert self.use_encoder or self.use_xyz
+        self.normalize_z = conf.get_bool("normalize_z", True)
+        self.use_code = conf.get_bool("use_code", False)
+        self.use_code_viewdirs = conf.get_bool("use_code_viewdirs", True)
+        self.use_viewdirs = conf.get_bool("use_viewdirs", False)
+        self.use_global_encoder = conf.get_bool("use_global_encoder", False)
+
+        self.encoder = SpatialEncoder.from_conf(conf["encoder"], name="encoder")
+
+        # fusion (fork feature, models.py:67-95)
+        use_smart_fusion = conf.get_bool("use_smart_fusion", False)
+        self.is_multi_scale = self.encoder.use_multi_scale
+        self.use_smart_fusion = use_smart_fusion and self.is_multi_scale
+        self.use_adaptive_sampling = (
+            conf.get_bool("use_adaptive_sampling", False) and self.is_multi_scale
+        )
+        layer_dims = list(self.encoder.latent_sizes)
+        if self.use_smart_fusion:
+            self.feature_fusion = SmartFeatureFusion(
+                layer_dims=tuple(layer_dims),
+                output_dim=512,
+                use_attention=conf.get_string("fusion_type", "attention")
+                == "attention",
+                dropout=conf.get_float("fusion_dropout", 0.0),
+                num_heads=conf.get_int("fusion_heads", 8),
+                use_cbam=conf.get_bool("use_cbam", True),
+                name="feature_fusion",
+            )
+            latent_size = 512
+        else:
+            ls = self.encoder.latent_size
+            latent_size = sum(ls) if isinstance(ls, (list, tuple)) else ls
+        if self.use_adaptive_sampling:
+            self.adaptive_sampler = AdaptiveFeatureSampler(
+                feature_dim=layer_dims[-1],
+                quality_threshold=conf.get_float("quality_threshold", 0.3),
+                name="adaptive_sampler",
+            )
+        self.latent_size = latent_size
+
+        # d_in composition rules (backup2:48-60)
+        d_latent = latent_size if self.use_encoder else 0
+        d_in = 3 if self.use_xyz else 1
+        if self.use_viewdirs and self.use_code_viewdirs:
+            d_in += 3
+        if self.use_code and d_in > 0:
+            self.code = PositionalEncoding.from_conf(conf["code"], d_in=d_in)
+            d_in = self.code.d_out
+        if self.use_viewdirs and not self.use_code_viewdirs:
+            d_in += 3
+
+        if self.use_global_encoder:
+            self.global_encoder = GlobalEncoder.from_conf(
+                conf["global_encoder"], name="global_encoder"
+            )
+            d_latent += self.global_encoder.latent_size
+
+        self.d_in = d_in
+        self.d_latent = d_latent
+        self.d_out = 4
+
+        self.mlp_coarse = _make_mlp(
+            conf["mlp_coarse"], d_in, d_latent, name="mlp_coarse"
+        )
+        self.mlp_fine = _make_mlp(
+            conf["mlp_fine"], d_in, d_latent, name="mlp_fine", allow_empty=True
+        )
+
+    # ---------------------------- encode ----------------------------
+    def encode(
+        self,
+        images: Array,
+        poses: Array,
+        focal,
+        c=None,
+        train: bool = False,
+    ) -> EncodedScene:
+        """:param images: (SB, NS, H, W, 3) or (NS, H, W, 3), values in [-1, 1]
+        :param poses: matching (..., 4, 4) camera-to-world
+        :param focal: () | (2,) | (NS,) | (NS, 2) [fx, fy]
+        :param c: principal point, same shape options, default image center
+        :return: EncodedScene
+        """
+        if images.ndim == 5:
+            num_views_per_obj = images.shape[1]
+            images = images.reshape((-1,) + images.shape[2:])
+            poses = poses.reshape(-1, 4, 4)
+        else:
+            num_views_per_obj = 1
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+
+        latents = self.encoder(images, train=train)
+        if self.is_multi_scale and self.use_adaptive_sampling:
+            latents = self.adaptive_sampler(latents)
+        if self.use_smart_fusion:
+            latents = self.feature_fusion(latents, train=train)
+        if isinstance(latents, list):
+            latents = tuple(latents)
+
+        w2c = invert_poses(poses)  # (B, 3, 4)
+
+        focal = jnp.asarray(focal, jnp.float32)
+        if focal.ndim == 0:
+            focal = focal[None, None] * jnp.ones((1, 2), jnp.float32)
+        elif focal.ndim == 1:
+            focal = jnp.broadcast_to(focal[:, None], (focal.shape[0], 2))
+        focal = focal * jnp.array([1.0, -1.0], jnp.float32)  # -fy (backup2:139)
+        focal = jnp.broadcast_to(focal, (B, 2)) if focal.shape[0] == 1 else focal
+
+        if c is None:
+            c = jnp.array([[W * 0.5, H * 0.5]], jnp.float32)
+        else:
+            c = jnp.asarray(c, jnp.float32)
+            if c.ndim == 0:
+                c = c[None, None] * jnp.ones((1, 2), jnp.float32)
+            elif c.ndim == 1:
+                c = jnp.broadcast_to(c[:, None], (c.shape[0], 2))
+        c = jnp.broadcast_to(c, (B, 2)) if c.shape[0] == 1 else c
+
+        global_latent = None
+        if self.use_global_encoder:
+            global_latent = self.global_encoder(images, train=train)
+
+        return EncodedScene(
+            latents=latents,
+            poses=w2c,
+            focal=focal,
+            c=c,
+            global_latent=global_latent,
+            image_shape=(W, H),
+            num_views_per_obj=num_views_per_obj,
+        )
+
+    # ----------------------------- query -----------------------------
+    def query(
+        self,
+        scene: EncodedScene,
+        xyz: Array,
+        viewdirs: Optional[Array] = None,
+        coarse: bool = True,
+    ) -> Array:
+        """Predict (r, g, b, sigma) at world points.
+
+        :param xyz: (SB, B, 3) world-space points
+        :param viewdirs: (SB, B, 3) if use_viewdirs
+        :return: (SB, B, 4) with rgb in [0,1] (sigmoid) and sigma >= 0 (relu)
+        """
+        SB, B, _ = xyz.shape
+        NS = scene.num_views_per_obj
+        poses = scene.poses  # (SB*NS, 3, 4)
+
+        xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
+        xyz_rot = jnp.einsum(
+            "nij,nbj->nbi", poses[:, :3, :3], xyz_rep, precision="highest"
+        )
+        xyz_cam = xyz_rot + poses[:, None, :3, 3]
+
+        mlp_input = None
+        if self.d_in > 0:
+            if self.use_xyz:
+                z_feature = xyz_rot if self.normalize_z else xyz_cam
+            else:
+                src = xyz_rot if self.normalize_z else xyz_cam
+                z_feature = -src[..., 2:3]
+            if self.use_code and not self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+            if self.use_viewdirs:
+                assert viewdirs is not None
+                vd = repeat_interleave(viewdirs, NS)  # (SB*NS, B, 3)
+                vd = jnp.einsum(
+                    "nij,nbj->nbi", poses[:, :3, :3], vd, precision="highest"
+                )
+                z_feature = jnp.concatenate([z_feature, vd], axis=-1)
+            if self.use_code and self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+            mlp_input = z_feature
+
+        if self.use_encoder:
+            uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]  # (SB*NS, B, 2)
+            uv = uv * scene.focal[:, None] + scene.c[:, None]
+            latents = scene.latents
+            if isinstance(latents, tuple):
+                latents = list(latents)
+            latent = self.encoder.index(latents, uv, scene.image_shape)
+            if self.stop_encoder_grad:
+                latent = jax.lax.stop_gradient(latent)
+            if self.d_in == 0:
+                mlp_input = latent
+            else:
+                mlp_input = jnp.concatenate([latent, mlp_input], axis=-1)
+
+        if self.use_global_encoder:
+            g = scene.global_latent[:, None]  # (SB*NS, 1, C_g)
+            g = jnp.broadcast_to(g, (g.shape[0], B, g.shape[-1]))
+            mlp_input = jnp.concatenate([g, mlp_input], axis=-1)
+
+        flat = mlp_input.reshape(-1, mlp_input.shape[-1])  # (SB*NS*B, D)
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+        out = mlp(flat, combine_inner_dims=(NS, B))
+        out = out.reshape(SB, B, self.d_out)
+
+        rgb = nn.sigmoid(out[..., :3])
+        sigma = nn.relu(out[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1)
+
+    # ------------------------- init convenience -------------------------
+    def __call__(
+        self,
+        images: Array,
+        poses: Array,
+        focal,
+        xyz: Array,
+        viewdirs: Optional[Array] = None,
+        c=None,
+        train: bool = False,
+    ):
+        """encode + query both heads; used for parameter initialization."""
+        scene = self.encode(images, poses, focal, c=c, train=train)
+        out_c = self.query(scene, xyz, viewdirs=viewdirs, coarse=True)
+        out_f = None
+        if self.mlp_fine is not None:
+            out_f = self.query(scene, xyz, viewdirs=viewdirs, coarse=False)
+        return out_c, out_f
+
+
+def make_model(conf, stop_encoder_grad: bool = False, **kwargs) -> PixelNeRFNet:
+    """Construct the model from the `model` conf subtree
+    (reference model/__init__.py:7-14)."""
+    model_type = conf.get_string("type", "pixelnerf")
+    if model_type != "pixelnerf":
+        raise NotImplementedError(f"Unsupported model type {model_type!r}")
+    frozen = _freeze(conf.as_dict() if isinstance(conf, ConfigTree) else dict(conf))
+    return PixelNeRFNet(conf_dict=frozen, stop_encoder_grad=stop_encoder_grad, **kwargs)
+
+
+_DICT_TAG = "__conf_dict__"
+
+
+def _freeze(obj):
+    """Recursively convert dicts/lists into hashable tuples for module fields."""
+    if isinstance(obj, dict):
+        return (_DICT_TAG,) + tuple(
+            sorted((k, _freeze(v)) for k, v in obj.items())
+        )
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _unfreeze(obj):
+    if isinstance(obj, tuple):
+        if len(obj) >= 1 and obj[0] == _DICT_TAG:
+            return {k: _unfreeze(v) for k, v in obj[1:]}
+        return [_unfreeze(v) for v in obj]
+    return obj

@@ -1,0 +1,136 @@
+"""ResNet-style fully-connected NeRF field decoder (Flax).
+
+Semantics match the reference ResnetFC (resnetfc.py:65-236): per-block latent
+injection ``x + lin_z[i](z)`` before each residual block up to ``combine_layer``,
+multi-view averaging via ``combine_interleaved`` at ``combine_layer``, optional SPADE
+modulation, softplus(beta) or ReLU activations, and the same init scheme (kaiming
+fan-in for fc_0/lin_in/lin_out/shortcut, zero-init fc_1 so blocks start as identity).
+
+All matmuls here are MXU work: points are batched as (P, D) with D=d_hidden=512, so
+XLA tiles them straight onto the systolic array.  ``combine_inner_dims`` is static
+(python ints) so each (NS, B) configuration compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..utils.geometry import combine_interleaved
+
+Array = jnp.ndarray
+
+kaiming_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _activation(beta: float):
+    if beta > 0:
+        return lambda x: nn.softplus(x * beta) / beta
+    return nn.relu
+
+
+class ResnetBlockFC(nn.Module):
+    """Two-layer FC residual block (reference resnetfc.py:10-62)."""
+
+    size_out: Optional[int] = None
+    size_h: Optional[int] = None
+    beta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        size_in = x.shape[-1]
+        size_out = self.size_out or size_in
+        size_h = self.size_h or min(size_in, size_out)
+        act = _activation(self.beta)
+
+        net = nn.Dense(size_h, kernel_init=kaiming_fan_in, name="fc_0")(act(x))
+        dx = nn.Dense(
+            size_out, kernel_init=nn.initializers.zeros, name="fc_1"
+        )(act(net))
+        if size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(
+                size_out, use_bias=False, kernel_init=kaiming_fan_in, name="shortcut"
+            )(x)
+        return x_s + dx
+
+
+class ResnetFC(nn.Module):
+    d_out: int = 4
+    n_blocks: int = 5
+    d_latent: int = 0
+    d_hidden: int = 128
+    beta: float = 0.0
+    combine_layer: int = 1000
+    combine_type: str = "average"
+    use_spade: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        zx: Array,
+        combine_inner_dims: Sequence[int] = (1,),
+    ) -> Array:
+        """:param zx: (..., d_latent + d_in); latent first, coordinate code second
+        (reference resnetfc.py:193-197)
+        :param combine_inner_dims: static (NS, B) dims for multi-view combination
+        """
+        act = _activation(self.beta)
+        d_latent = self.d_latent
+        if d_latent > 0:
+            z = zx[..., :d_latent]
+            x = zx[..., d_latent:]
+        else:
+            z = None
+            x = zx
+
+        if x.shape[-1] > 0:
+            x = nn.Dense(
+                self.d_hidden, kernel_init=kaiming_fan_in, name="lin_in"
+            )(x)
+        else:
+            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=zx.dtype)
+
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer:
+                x = combine_interleaved(x, combine_inner_dims, self.combine_type)
+                # z for any later injection would be stale; reference stops
+                # injecting at combine_layer anyway (resnetfc.py:226).
+            if d_latent > 0 and blkid < self.combine_layer:
+                tz = nn.Dense(
+                    self.d_hidden, kernel_init=kaiming_fan_in, name=f"lin_z_{blkid}"
+                )(z)
+                if self.use_spade:
+                    sz = nn.Dense(
+                        self.d_hidden,
+                        kernel_init=kaiming_fan_in,
+                        name=f"scale_z_{blkid}",
+                    )(z)
+                    x = sz * x + tz
+                else:
+                    x = x + tz
+            x = ResnetBlockFC(
+                size_h=self.d_hidden, beta=self.beta, name=f"blocks_{blkid}"
+            )(x)
+
+        out = nn.Dense(
+            self.d_out, kernel_init=kaiming_fan_in, name="lin_out"
+        )(act(x))
+        return out
+
+    @classmethod
+    def from_conf(cls, conf, d_latent: int = 0, **kwargs) -> "ResnetFC":
+        # reference resnetfc.py:238-250 (d_in is carried by the input shape here)
+        return cls(
+            n_blocks=conf.get_int("n_blocks", 5),
+            d_hidden=conf.get_int("d_hidden", 128),
+            beta=conf.get_float("beta", 0.0),
+            combine_layer=conf.get_int("combine_layer", 1000),
+            combine_type=conf.get_string("combine_type", "average"),
+            use_spade=conf.get_bool("use_spade", False),
+            d_latent=d_latent,
+            **kwargs,
+        )

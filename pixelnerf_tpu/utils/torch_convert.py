@@ -1,0 +1,205 @@
+"""torch -> Flax parameter conversion.
+
+Converts (a) torchvision ResNet backbone state dicts (for pretrained encoders,
+reference encoder.py:61-67) and (b) full reference ``pixel_nerf_latest`` checkpoints
+(models.py.backup2:284-314) into this framework's ``{"params": ..., "batch_stats":
+...}`` variable trees, so trained torch checkpoints can be evaluated on TPU without
+retraining.
+
+Layout rules:
+  * conv weight (O, I, kh, kw)  -> kernel (kh, kw, I, O)
+  * linear weight (O, I)        -> kernel (I, O)
+  * batchnorm weight/bias       -> params scale/bias
+  * batchnorm running_mean/var  -> batch_stats mean/var
+Module-name rules mirror the naming in :mod:`pixelnerf_tpu.models`:
+``layer1.0.conv1`` -> ``layer1_0/conv1``, ``blocks.3.fc_0`` -> ``blocks_3/fc_0``,
+``lin_z.2`` -> ``lin_z_2``, ``downsample.0/1`` -> ``downsample_conv``/``downsample_bn``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+PathDict = Dict[Tuple[str, ...], np.ndarray]
+
+
+def _to_numpy(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _insert(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_tensor(key_tail: str, value: np.ndarray):
+    """Map a torch parameter leaf name to (flax collection, leaf name, converted
+    array); returns None for buffers we don't carry (num_batches_tracked etc.)."""
+    if key_tail == "weight":
+        if value.ndim == 4:
+            return "params", "kernel", np.transpose(value, (2, 3, 1, 0))
+        if value.ndim == 2:
+            return "params", "kernel", np.transpose(value, (1, 0))
+        if value.ndim == 1:  # batchnorm gamma
+            return "params", "scale", value
+    if key_tail == "bias":
+        return "params", "bias", value
+    if key_tail == "running_mean":
+        return "batch_stats", "mean", value
+    if key_tail == "running_var":
+        return "batch_stats", "var", value
+    return None
+
+
+_RESNET_RULES = [
+    # (regex on torch module path, flax module path builder)
+    (re.compile(r"^conv1$"), lambda m: ("conv1",)),
+    (re.compile(r"^bn1$"), lambda m: ("bn1",)),
+    (
+        re.compile(r"^layer(\d+)\.(\d+)\.conv(\d+)$"),
+        lambda m: (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}"),
+    ),
+    (
+        re.compile(r"^layer(\d+)\.(\d+)\.bn(\d+)$"),
+        lambda m: (f"layer{m.group(1)}_{m.group(2)}", f"bn{m.group(3)}"),
+    ),
+    (
+        re.compile(r"^layer(\d+)\.(\d+)\.downsample\.0$"),
+        lambda m: (f"layer{m.group(1)}_{m.group(2)}", "downsample_conv"),
+    ),
+    (
+        re.compile(r"^layer(\d+)\.(\d+)\.downsample\.1$"),
+        lambda m: (f"layer{m.group(1)}_{m.group(2)}", "downsample_bn"),
+    ),
+]
+
+_MLP_RULES = [
+    (re.compile(r"^lin_in$"), lambda m: ("lin_in",)),
+    (re.compile(r"^lin_out$"), lambda m: ("lin_out",)),
+    (re.compile(r"^lin(\d+)$"), lambda m: (f"lin{m.group(1)}",)),  # ImplicitNet
+    (
+        re.compile(r"^blocks\.(\d+)\.(fc_0|fc_1|shortcut)$"),
+        lambda m: (f"blocks_{m.group(1)}", m.group(2)),
+    ),
+    (re.compile(r"^lin_z\.(\d+)$"), lambda m: (f"lin_z_{m.group(1)}",)),
+    (re.compile(r"^scale_z\.(\d+)$"), lambda m: (f"scale_z_{m.group(1)}",)),
+]
+
+
+def _apply_rules(rules, module_path: str):
+    for rx, builder in rules:
+        m = rx.match(module_path)
+        if m is not None:
+            return builder(m)
+    return None
+
+
+def convert_resnet(state_dict: Mapping[str, "np.ndarray"]) -> dict:
+    """torchvision ResNet state dict -> {"params": ..., "batch_stats": ...} matching
+    :class:`pixelnerf_tpu.models.resnet.ResNetFeatures` (fc head skipped)."""
+    out = {"params": {}, "batch_stats": {}}
+    for key, value in state_dict.items():
+        value = _to_numpy(value)
+        module_path, _, leaf = key.rpartition(".")
+        if module_path.startswith("fc") or key.startswith("fc."):
+            continue
+        if leaf == "num_batches_tracked":
+            continue
+        flax_mod = _apply_rules(_RESNET_RULES, module_path)
+        if flax_mod is None:
+            continue
+        conv = _convert_tensor(leaf, value)
+        if conv is None:
+            continue
+        coll, leaf_name, arr = conv
+        if coll == "params" and flax_mod[-1].startswith(("bn", "downsample_bn")):
+            pass  # scale/bias live under the bn module
+        _insert(out[coll], flax_mod + (leaf_name,), arr)
+    return out
+
+
+def convert_pixelnerf(state_dict: Mapping[str, "np.ndarray"]) -> dict:
+    """Full reference PixelNeRFNet state dict (backup2 layout) ->
+    variables for :class:`pixelnerf_tpu.models.PixelNeRFNet`.
+
+    Handles encoder.model.*, mlp_coarse.*, mlp_fine.*, global_encoder.*; skips the
+    non-persistent camera buffers (poses/image_shape/focal/c) and positional-encoding
+    buffers, which are recomputed functionally here.
+    """
+    out = {"params": {}, "batch_stats": {}}
+    skip_prefixes = ("poses", "image_shape", "focal", "c", "code.")
+    for key, value in state_dict.items():
+        if key.startswith(skip_prefixes):
+            continue
+        value = _to_numpy(value)
+        module_path, _, leaf = key.rpartition(".")
+        if leaf == "num_batches_tracked":
+            continue
+
+        flax_path = None
+        if module_path.startswith("encoder.model."):
+            tail = module_path[len("encoder.model.") :]
+            mod = _apply_rules(_RESNET_RULES, tail)
+            if mod is not None:
+                flax_path = ("encoder", "model") + mod
+        elif module_path.startswith(("mlp_coarse.", "mlp_fine.")):
+            head, tail = module_path.split(".", 1)
+            mod = _apply_rules(_MLP_RULES, tail)
+            if mod is not None:
+                flax_path = (head,) + mod
+        elif module_path.startswith("global_encoder.model."):
+            tail = module_path[len("global_encoder.model.") :]
+            mod = _apply_rules(_RESNET_RULES, tail)
+            if mod is not None:
+                flax_path = ("global_encoder", "model") + mod
+        elif module_path == "global_encoder.fc":
+            flax_path = ("global_encoder", "fc")
+
+        if flax_path is None:
+            continue
+        conv = _convert_tensor(leaf, value)
+        if conv is None:
+            continue
+        coll, leaf_name, arr = conv
+        _insert(out[coll], flax_path + (leaf_name,), arr)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch checkpoint file to a flat numpy state dict (host-side)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "net" in obj and isinstance(obj["net"], dict):
+        obj = obj["net"]  # fork-style composite checkpoint (trainer.py:581-618)
+    return {k: _to_numpy(v) for k, v in obj.items()}
+
+
+def tree_shapes_match(converted: dict, target: dict, path=()) -> list:
+    """Diff helper: returns list of (path, converted_shape, target_shape) mismatches
+    plus missing keys, for checkpoint-conversion validation."""
+    problems = []
+    keys = set(converted) | set(target)
+    for k in sorted(keys):
+        p = path + (k,)
+        if k not in converted:
+            problems.append((p, None, "missing-in-converted"))
+        elif k not in target:
+            problems.append((p, "extra-in-converted", None))
+        else:
+            cv, tv = converted[k], target[k]
+            if isinstance(cv, dict) and isinstance(tv, dict):
+                problems.extend(tree_shapes_match(cv, tv, p))
+            else:
+                cs = getattr(cv, "shape", None)
+                ts = getattr(tv, "shape", None)
+                if cs != ts:
+                    problems.append((p, cs, ts))
+    return problems

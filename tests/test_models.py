@@ -1,0 +1,378 @@
+"""Model-layer tests: positional encoding golden values, ResNet backbone parity with
+an independently-written torch ResNet34 + converted weights, ResnetFC parity and
+multi-view combine semantics, and PixelNeRFNet end-to-end shape/range checks."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from pixelnerf_tpu.config import hocon
+from pixelnerf_tpu.models import (
+    PixelNeRFNet,
+    PositionalEncoding,
+    ResnetFC,
+    SpatialEncoder,
+    make_model,
+)
+from pixelnerf_tpu.models.resnet import ResNetFeatures
+from pixelnerf_tpu.utils import torch_convert
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding
+# ---------------------------------------------------------------------------
+
+
+def test_positional_encoding_layout():
+    pe = PositionalEncoding(num_freqs=2, d_in=3, freq_factor=1.5, include_input=True)
+    x = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+    out = np.asarray(pe(jnp.asarray(x)))
+    assert out.shape == (5, pe.d_out) and pe.d_out == 2 * 2 * 3 + 3
+    # layout: [x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x)]
+    f0, f1 = 1.5, 3.0
+    np.testing.assert_allclose(out[:, :3], x, atol=1e-6)
+    np.testing.assert_allclose(out[:, 3:6], np.sin(f0 * x), atol=1e-6)
+    np.testing.assert_allclose(out[:, 6:9], np.cos(f0 * x), atol=1e-6)
+    np.testing.assert_allclose(out[:, 9:12], np.sin(f1 * x), atol=1e-6)
+    np.testing.assert_allclose(out[:, 12:15], np.cos(f1 * x), atol=1e-6)
+
+
+def test_positional_encoding_from_conf():
+    conf = hocon.parse_string(
+        "code { num_freqs = 6\n freq_factor = 1.5\n include_input = True }"
+    )
+    pe = PositionalEncoding.from_conf(conf["code"], d_in=6)
+    assert pe.d_out == 6 * 2 * 6 + 6  # 78, backup2's d_in for sn64 multiview
+
+
+# ---------------------------------------------------------------------------
+# Torch reference ResNet34 (written independently for parity testing)
+# ---------------------------------------------------------------------------
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False), tnn.BatchNorm2d(cout)
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + idt)
+
+
+class TorchResNet34Trunk(tnn.Module):
+    """conv1..layer3, matching torchvision parameter naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        def stage(cin, cout, n, stride):
+            blocks = [TorchBasicBlock(cin, cout, stride)]
+            blocks += [TorchBasicBlock(cout, cout) for _ in range(n - 1)]
+            return tnn.Sequential(*blocks)
+        self.layer1 = stage(64, 64, 3, 1)
+        self.layer2 = stage(64, 128, 4, 2)
+        self.layer3 = stage(128, 256, 6, 2)
+
+    def forward(self, x, use_first_pool=True):
+        feats = []
+        x = torch.relu(self.bn1(self.conv1(x)))
+        if use_first_pool:
+            x = self.maxpool(x)
+        feats.append(x)
+        for layer in (self.layer1, self.layer2, self.layer3):
+            x = layer(x)
+            feats.append(x)
+        return feats
+
+
+def _randomize_bn_stats(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+@pytest.mark.parametrize("use_first_pool", [True, False])
+def test_resnet_backbone_parity(use_first_pool):
+    torch.manual_seed(0)
+    tmodel = TorchResNet34Trunk().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel)
+    sd = tmodel.state_dict()
+    variables = torch_convert.convert_resnet(sd)
+
+    x = np.random.default_rng(1).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    model = ResNetFeatures(
+        backbone="resnet34", num_layers=4, use_first_pool=use_first_pool
+    )
+    # shape-check against a fresh init (catches naming/shape drift)
+    init_vars = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    problems = torch_convert.tree_shapes_match(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, init_vars["params"]),
+    )
+    assert not problems, problems[:5]
+
+    with jax.default_matmul_precision("highest"):
+        feats = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x),
+            train=False,
+        )
+    with torch.no_grad():
+        tfeats = tmodel(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            use_first_pool=use_first_pool,
+        )
+    assert len(feats) == len(tfeats) == 4
+    for f, tf in zip(feats, tfeats):
+        ref = tf.permute(0, 2, 3, 1).numpy()
+        assert f.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(f), ref, atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ResnetFC
+# ---------------------------------------------------------------------------
+
+
+class TorchResnetBlockFC(tnn.Module):
+    def __init__(self, d):
+        super().__init__()
+        self.fc_0 = tnn.Linear(d, d)
+        self.fc_1 = tnn.Linear(d, d)
+
+    def forward(self, x):
+        net = self.fc_0(torch.relu(x))
+        dx = self.fc_1(torch.relu(net))
+        return x + dx
+
+
+class TorchResnetFC(tnn.Module):
+    def __init__(self, d_in, d_latent, d_hidden, n_blocks, combine_layer, d_out=4):
+        super().__init__()
+        self.lin_in = tnn.Linear(d_in, d_hidden)
+        self.lin_out = tnn.Linear(d_hidden, d_out)
+        self.blocks = tnn.ModuleList(
+            [TorchResnetBlockFC(d_hidden) for _ in range(n_blocks)]
+        )
+        n_lin_z = min(combine_layer, n_blocks)
+        self.lin_z = tnn.ModuleList(
+            [tnn.Linear(d_latent, d_hidden) for _ in range(n_lin_z)]
+        )
+        self.d_latent, self.combine_layer, self.n_blocks = (
+            d_latent,
+            combine_layer,
+            n_blocks,
+        )
+
+    def forward(self, zx, inner_dims):
+        z, x = zx[..., : self.d_latent], zx[..., self.d_latent :]
+        x = self.lin_in(x)
+        for i in range(self.n_blocks):
+            if i == self.combine_layer:
+                # matches util.combine_interleaved: (NS*B, d) -> (1, B, d)
+                x = x.reshape(-1, *inner_dims, x.shape[-1]).mean(dim=1)
+            if i < self.combine_layer:
+                x = x + self.lin_z[i](z if i < self.combine_layer else z)
+            x = self.blocks[i](x)
+        return self.lin_out(torch.relu(x))
+
+
+def test_resnetfc_parity_multiview():
+    d_in, d_latent, d_hidden, n_blocks, combine_layer = 9, 16, 32, 5, 3
+    NS, B = 2, 7
+    torch.manual_seed(1)
+    tm = TorchResnetFC(d_in, d_latent, d_hidden, n_blocks, combine_layer).eval()
+    sd = {f"mlp_coarse.{k}": v for k, v in tm.state_dict().items()}
+    conv = torch_convert.convert_pixelnerf(sd)
+
+    zx = np.random.default_rng(2).normal(size=(NS * B, d_latent + d_in)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        # torch combine leaves (1, B, d) folded back to (B, d) inside forward
+        ref = tm(torch.from_numpy(zx), (NS, B)).numpy()
+
+    model = ResnetFC(
+        d_out=4,
+        n_blocks=n_blocks,
+        d_latent=d_latent,
+        d_hidden=d_hidden,
+        combine_layer=combine_layer,
+    )
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(
+            {"params": conv["params"]["mlp_coarse"]},
+            jnp.asarray(zx),
+            combine_inner_dims=(NS, B),
+        )
+    assert out.shape == (1, B, 4) and ref.shape == (1, B, 4)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_resnetfc_combine_average_semantics():
+    """Hidden states of NS views must be averaged exactly at combine_layer: for a
+    latent-free net, feeding identical views == feeding one view."""
+    model = ResnetFC(d_out=4, n_blocks=4, d_latent=0, d_hidden=16, combine_layer=2)
+    x1 = np.random.default_rng(3).normal(size=(5, 8)).astype(np.float32)
+    # view-major layout (backup2:170 + flatten): all B points of view 0, then view 1
+    x2 = np.tile(x1, (2, 1))
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x1))["params"]
+    out1 = model.apply({"params": params}, jnp.asarray(x1), combine_inner_dims=(1, 5))
+    out2 = model.apply({"params": params}, jnp.asarray(x2), combine_inner_dims=(2, 5))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PixelNeRFNet end-to-end
+# ---------------------------------------------------------------------------
+
+
+SMALL_CONF = """
+model {
+    use_encoder = True
+    use_xyz = True
+    use_code = True
+    code { num_freqs = 6\n freq_factor = 1.5\n include_input = True }
+    use_viewdirs = True
+    use_code_viewdirs = False
+    mlp_coarse { type = resnet\n n_blocks = 3\n d_hidden = 64\n combine_layer = 2\n combine_type = average }
+    mlp_fine { type = resnet\n n_blocks = 3\n d_hidden = 64\n combine_layer = 2\n combine_type = average }
+    encoder { backbone = resnet34\n pretrained = False\n num_layers = 2\n use_first_pool = False }
+}
+"""
+
+
+def _init_net(conf_text=SMALL_CONF, SB=2, NS=2, H=32, W=32, B=11):
+    conf = hocon.parse_string(conf_text)
+    net = make_model(conf["model"])
+    rng = np.random.default_rng(4)
+    images = rng.normal(size=(SB, NS, H, W, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (SB, NS, 1, 1))
+    poses[..., 2, 3] = 1.4  # cameras at z=+1.4 looking down -z
+    xyz = rng.normal(size=(SB, B, 3)).astype(np.float32) * 0.3
+    viewdirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    focal = np.array(20.0, dtype=np.float32)
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images),
+        jnp.asarray(poses),
+        jnp.asarray(focal),
+        jnp.asarray(xyz),
+        jnp.asarray(viewdirs),
+    )
+    return net, variables, images, poses, focal, xyz, viewdirs
+
+
+def test_pixelnerf_shapes_and_ranges():
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net()
+    scene = net.apply(
+        variables,
+        jnp.asarray(images),
+        jnp.asarray(poses),
+        jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    assert scene.num_views_per_obj == 2
+    assert scene.poses.shape == (4, 3, 4)
+    assert scene.focal.shape == (4, 2) and float(scene.focal[0, 1]) == -20.0
+    assert scene.c.shape == (4, 2)
+
+    out = net.apply(
+        variables,
+        scene,
+        jnp.asarray(xyz),
+        viewdirs=jnp.asarray(viewdirs),
+        coarse=True,
+        method=PixelNeRFNet.query,
+    )
+    assert out.shape == (2, 11, 4)
+    out = np.asarray(out)
+    assert (out[..., :3] >= 0).all() and (out[..., :3] <= 1).all()
+    assert (out[..., 3] >= 0).all()
+    assert np.isfinite(out).all()
+
+
+def test_pixelnerf_query_jits_and_views_consistency():
+    """Single view duplicated must equal NS=1 (average over identical views)."""
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net(NS=1, SB=1)
+    enc = lambda im, po: net.apply(
+        variables, jnp.asarray(im), jnp.asarray(po), jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    scene1 = enc(images, poses)
+    out1 = net.apply(
+        variables, scene1, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    )
+    images2 = np.concatenate([images, images], axis=1)
+    poses2 = np.concatenate([poses, poses], axis=1)
+    scene2 = enc(images2, poses2)
+    out2 = net.apply(
+        variables, scene2, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    # query jits cleanly
+    qfn = jax.jit(
+        lambda v, s, x, d: net.apply(
+            v, s, x, viewdirs=d, method=PixelNeRFNet.query
+        )
+    )
+    out_j = qfn(variables, scene1, jnp.asarray(xyz), jnp.asarray(viewdirs))
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out1), atol=1e-5)
+
+
+def test_pixelnerf_multiscale_fusion_path():
+    conf_text = SMALL_CONF.replace(
+        "use_first_pool = False }",
+        "use_first_pool = False\n use_multi_scale = True }\n"
+        "    use_smart_fusion = True\n    fusion_type = attention\n"
+        "    fusion_heads = 8\n    use_cbam = True",
+    )
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net(
+        conf_text, SB=1, NS=1, H=32, W=32, B=5
+    )
+    scene = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    # fused single map with 512 channels
+    assert not isinstance(scene.latents, (list, tuple))
+    assert scene.latents.shape[-1] == 512
+    out = net.apply(
+        variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    )
+    assert out.shape == (1, 5, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spatial_encoder_latent_size():
+    enc = SpatialEncoder(backbone="resnet34", num_layers=4, use_multi_scale=True)
+    assert enc.latent_size == [64, 64, 128, 256]
+    enc = SpatialEncoder(backbone="resnet34", num_layers=4, use_multi_scale=False)
+    assert enc.latent_size == 512
