@@ -1,0 +1,306 @@
+"""NeRF volume renderer — jitted compositing over sampled ray points.
+
+Functional redesign of the reference NeRFRenderer (nerf.py:45-371):
+
+  * :func:`render_rays` is a pure function of (model_fn, rays, rng) under a static
+    :class:`RenderConfig`; the whole coarse->importance->fine pipeline is one XLA
+    program — no per-chunk host loop like the reference's torch.split eval batching
+    (nerf.py:195-216).  Memory is bounded instead with ``lax.map`` over point chunks
+    (rematerialized scan), sized by ``eval_batch_size``.
+  * The sample-count *schedule* (nerf.py:318-338) is host-side state on
+    :class:`NeRFRenderer`, which simply swaps the static config (a new jit cache
+    entry per schedule stage, exactly one compile each).
+  * DataParallel-over-rays (nerf.py:354-371) is replaced by sharding the ray axis
+    over the device mesh (see :mod:`pixelnerf_tpu.parallel`).
+
+The compositing math matches nerf.py:163-249: deltas with far-boundary delta,
+``alpha = 1 - exp(-delta * relu(sigma))``, exclusive transmittance cumprod with the
+1e-10 guard, white-background completion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import rays as ray_sampling
+
+Array = jnp.ndarray
+
+# model_fn(points (SB, P, 3), viewdirs (SB, P, 3) | None, coarse: bool) -> (SB, P, 4)
+ModelFn = Callable[..., Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    n_coarse: int = 128
+    n_fine: int = 0
+    n_fine_depth: int = 0
+    noise_std: float = 0.0
+    depth_std: float = 0.01
+    eval_batch_size: int = 100000
+    white_bkgd: bool = False
+    lindisp: bool = False
+    sched: Optional[Tuple[Tuple[int, ...], ...]] = None
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+    @classmethod
+    def from_conf(
+        cls,
+        conf,
+        white_bkgd: bool = False,
+        lindisp: bool = False,
+        eval_batch_size: int = 100000,
+    ) -> "RenderConfig":
+        # reference nerf.py:340-352 (white_bkgd read as float there; bool here)
+        sched = conf.get_list("sched", None)
+        if sched is not None and len(sched) == 0:
+            sched = None
+        if sched is not None:
+            sched = tuple(tuple(s) for s in sched)
+        return cls(
+            n_coarse=conf.get_int("n_coarse", 128),
+            n_fine=conf.get_int("n_fine", 0),
+            n_fine_depth=conf.get_int("n_fine_depth", 0),
+            noise_std=conf.get_float("noise_std", 0.0),
+            depth_std=conf.get_float("depth_std", 0.01),
+            white_bkgd=bool(conf.get_float("white_bkgd", white_bkgd)),
+            lindisp=conf.get_bool("lindisp", lindisp),
+            eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
+            sched=sched,
+        )
+
+
+def _eval_model_chunked(
+    model_fn: ModelFn,
+    points: Array,  # (SB, P, 3)
+    viewdirs: Optional[Array],  # (SB, P, 3) | None
+    coarse: bool,
+    chunk: int,
+) -> Array:
+    """Evaluate the field at P points per scene object, bounding live memory by
+    scanning over chunks of ``chunk`` points (lax.map == sequential scan, so only
+    one chunk's activations are alive at a time)."""
+    SB, P, _ = points.shape
+    if chunk <= 0 or P <= chunk:
+        return model_fn(points, viewdirs, coarse)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+
+    def pad_pts(x):
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))).reshape(
+            SB, n_chunks, chunk, 3
+        ).transpose(1, 0, 2, 3)  # (n_chunks, SB, chunk, 3)
+
+    pts = pad_pts(points)
+    if viewdirs is not None:
+        dirs = pad_pts(viewdirs)
+        out = jax.lax.map(
+            lambda pd: model_fn(pd[0], pd[1], coarse), (pts, dirs)
+        )
+    else:
+        out = jax.lax.map(lambda p: model_fn(p, None, coarse), pts)
+    # (n_chunks, SB, chunk, 4) -> (SB, P, 4)
+    out = out.transpose(1, 0, 2, 3).reshape(SB, n_chunks * chunk, -1)
+    return out[:, :P]
+
+
+def composite(
+    model_fn: ModelFn,
+    rays: Array,  # (SB, B, 8)
+    z_samp: Array,  # (SB, B, K)
+    cfg: RenderConfig,
+    coarse: bool,
+    rng: Optional[Array] = None,
+    training: bool = False,
+    use_viewdirs: bool = True,
+) -> Tuple[Array, Array, Array]:
+    """Alpha-composite rgb/sigma along rays (reference nerf.py:163-249).
+
+    :return: (weights (SB, B, K), rgb (SB, B, 3), depth (SB, B))
+    """
+    SB, B, K = z_samp.shape
+
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]  # (SB, B, K-1)
+    delta_inf = rays[..., -1:] - z_samp[..., -1:]
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (SB, B, K)
+
+    points = (
+        rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+    )  # (SB, B, K, 3)
+    points = points.reshape(SB, B * K, 3)
+
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = jnp.broadcast_to(
+            rays[..., None, 3:6], (SB, B, K, 3)
+        ).reshape(SB, B * K, 3)
+
+    chunk = cfg.eval_batch_size if not training else 0
+    out = _eval_model_chunked(model_fn, points, viewdirs, coarse, chunk)
+    out = out.reshape(SB, B, K, -1)
+
+    rgbs = out[..., :3]
+    sigmas = out[..., 3]
+    if training and cfg.noise_std > 0.0 and rng is not None:
+        sigmas = sigmas + jax.random.normal(rng, sigmas.shape) * cfg.noise_std
+
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))  # (SB, B, K)
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1
+    )  # (SB, B, K+1)
+    T = jnp.cumprod(alphas_shifted, axis=-1)
+    weights = alphas * T[..., :-1]  # (SB, B, K)
+
+    rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)  # (SB, B, 3)
+    depth_final = jnp.sum(weights * z_samp, axis=-1)  # (SB, B)
+    if cfg.white_bkgd:
+        pix_alpha = jnp.sum(weights, axis=-1)
+        rgb_final = rgb_final + (1.0 - pix_alpha[..., None])
+    return weights, rgb_final, depth_final
+
+
+def render_rays(
+    model_fn: ModelFn,
+    rays: Array,  # (SB, B, 8)
+    rng: Array,
+    cfg: RenderConfig,
+    want_weights: bool = False,
+    training: bool = False,
+    use_viewdirs: bool = True,
+) -> Dict[str, Any]:
+    """Full coarse+fine render (reference nerf.py:251-303).
+
+    :return: {"coarse": {rgb, depth[, weights]}, "fine": {...}} ("fine" present
+        only when cfg.using_fine)
+    """
+    assert rays.ndim == 3
+    rng_c, rng_noise_c, rng_f, rng_fd, rng_noise_f = jax.random.split(rng, 5)
+    SB, B, _ = rays.shape
+    flat_rays = rays.reshape(SB * B, 8)
+
+    z_coarse = ray_sampling.sample_coarse(
+        flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
+    ).reshape(SB, B, cfg.n_coarse)
+
+    weights_c, rgb_c, depth_c = composite(
+        model_fn,
+        rays,
+        z_coarse,
+        cfg,
+        coarse=True,
+        rng=rng_noise_c,
+        training=training,
+        use_viewdirs=use_viewdirs,
+    )
+
+    def pack(weights, rgb, depth):
+        out = {"rgb": rgb, "depth": depth}
+        if want_weights:
+            out["weights"] = weights
+        return out
+
+    outputs = {"coarse": pack(weights_c, rgb_c, depth_c)}
+
+    if cfg.using_fine:
+        all_samps = [z_coarse]
+        if cfg.n_fine - cfg.n_fine_depth > 0:
+            z_fine = ray_sampling.sample_fine(
+                flat_rays,
+                weights_c.reshape(SB * B, cfg.n_coarse),
+                cfg.n_fine - cfg.n_fine_depth,
+                cfg.n_coarse,
+                rng_f,
+                lindisp=cfg.lindisp,
+            ).reshape(SB, B, -1)
+            all_samps.append(z_fine)
+        if cfg.n_fine_depth > 0:
+            z_depth = ray_sampling.sample_fine_depth(
+                flat_rays,
+                jax.lax.stop_gradient(depth_c).reshape(SB * B),
+                cfg.n_fine_depth,
+                cfg.depth_std,
+                rng_fd,
+            ).reshape(SB, B, cfg.n_fine_depth)
+            all_samps.append(z_depth)
+        z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
+
+        weights_f, rgb_f, depth_f = composite(
+            model_fn,
+            rays,
+            z_combine,
+            cfg,
+            coarse=False,
+            rng=rng_noise_f,
+            training=training,
+            use_viewdirs=use_viewdirs,
+        )
+        outputs["fine"] = pack(weights_f, rgb_f, depth_f)
+
+    return outputs
+
+
+class NeRFRenderer:
+    """Host-side renderer wrapper carrying the sample-count schedule state
+    (the reference's iter_idx/last_sched persistent buffers, nerf.py:91-96)."""
+
+    def __init__(self, cfg: RenderConfig):
+        self.base_cfg = cfg
+        self.n_coarse = cfg.n_coarse
+        self.n_fine = cfg.n_fine
+        self.iter_idx = 0
+        self.last_sched = 0
+
+    @classmethod
+    def from_conf(cls, conf, **kwargs) -> "NeRFRenderer":
+        return cls(RenderConfig.from_conf(conf, **kwargs))
+
+    @property
+    def cfg(self) -> RenderConfig:
+        return dataclasses.replace(
+            self.base_cfg, n_coarse=self.n_coarse, n_fine=self.n_fine
+        )
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+    def sched_step(self, steps: int = 1) -> None:
+        """Advance the sampling schedule (reference nerf.py:318-338)."""
+        sched = self.base_cfg.sched
+        if sched is None:
+            return
+        self.iter_idx += steps
+        while (
+            self.last_sched < len(sched[0])
+            and self.iter_idx >= sched[0][self.last_sched]
+        ):
+            self.n_coarse = sched[1][self.last_sched]
+            self.n_fine = sched[2][self.last_sched]
+            print(
+                "INFO: NeRF sampling resolution changed on schedule ==> c",
+                self.n_coarse,
+                "f",
+                self.n_fine,
+            )
+            self.last_sched += 1
+
+    def state_dict(self) -> dict:
+        return {
+            "iter_idx": self.iter_idx,
+            "last_sched": self.last_sched,
+            "n_coarse": self.n_coarse,
+            "n_fine": self.n_fine,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.iter_idx = int(state["iter_idx"])
+        self.last_sched = int(state["last_sched"])
+        self.n_coarse = int(state.get("n_coarse", self.n_coarse))
+        self.n_fine = int(state.get("n_fine", self.n_fine))
