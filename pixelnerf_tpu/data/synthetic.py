@@ -1,0 +1,263 @@
+"""Synthetic dataset generation — analytic Lambert-sphere scenes.
+
+The reference repo has no test fixtures at all (SURVEY §4); this module provides
+the fixture layer: procedurally rendered sphere scenes whose cameras use *exactly*
+the framework's own ray model (utils.geometry.gen_rays), written to disk in the real
+SRN / DVR / multi-object formats so every dataset adapter, CLI, training loop, and
+benchmark can run end-to-end without external data.
+
+A learnable pattern (colored sphere, shaded by normal) also gives training smoke
+tests a signal: loss must decrease and renders must converge toward the sphere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils import geometry  # host-side pose constructors (numpy)
+from .base import CV_TO_GL, BaseDataset, mask_to_bbox
+
+
+def render_sphere_image(
+    c2w: np.ndarray,
+    width: int,
+    height: int,
+    focal: float,
+    radius: float = 0.5,
+    color: Tuple[float, float, float] = (0.8, 0.3, 0.2),
+    color2: Tuple[float, float, float] = (0.2, 0.4, 0.9),
+    light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.45),
+) -> np.ndarray:
+    """Ray-trace a two-tone Lambert sphere at the origin -> (H, W, 3) in [0, 1].
+
+    Pure numpy (no device needed): ray math replicates utils.geometry.gen_rays /
+    unproj_map exactly so generated cameras are consistent with the framework.
+    """
+    cx, cy = width * 0.5, height * 0.5
+    xs = (np.arange(width, dtype=np.float32) - cx) / focal
+    ys = (np.arange(height, dtype=np.float32) - cy) / focal
+    X, Y = np.meshgrid(xs, ys)
+    dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = dirs @ c2w[:3, :3].T
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+    b = np.sum(o * d, axis=-1)
+    c_ = np.sum(o * o, axis=-1) - radius**2
+    disc = b * b - c_
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit &= t > 0
+    p = o + t[..., None] * d
+    n = p / radius
+    l = np.asarray(light_dir, np.float32)
+    l = l / np.linalg.norm(l)
+    lam = 0.3 + 0.7 * np.maximum(np.sum(n * l, axis=-1), 0.0)
+    # two-tone: hemisphere split in object x makes orientation visible
+    base = np.where(
+        (p[..., :1] > 0), np.asarray(color, np.float32), np.asarray(color2, np.float32)
+    )
+    img = np.ones((height, width, 3), np.float32)
+    img[hit] = (base * lam[..., None])[hit]
+    return np.clip(img, 0.0, 1.0)
+
+
+def _object_params(rng: np.random.Generator):
+    return dict(
+        radius=float(rng.uniform(0.35, 0.5)),
+        color=tuple(rng.uniform(0.1, 0.9, 3).tolist()),
+        color2=tuple(rng.uniform(0.1, 0.9, 3).tolist()),
+    )
+
+
+def _camera_ring(n_views: int, radius: float = 1.4, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_views):
+        theta = 360.0 * i / n_views + rng.uniform(-5, 5)
+        phi = rng.uniform(-45.0, -10.0)
+        poses.append(geometry.pose_spherical(theta, phi, radius))
+    return np.stack(poses)
+
+
+def _save_png(path: str, img01: np.ndarray) -> None:
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, (img01 * 255.0 + 0.5).astype(np.uint8))
+
+
+def write_synthetic_dvr(
+    out_dir: str,
+    n_objs: int = 3,
+    n_views: int = 8,
+    image_size: int = 64,
+    focal: float = None,
+    category: str = "02958343",
+    seed: int = 0,
+) -> str:
+    """Write a DVR-format (NMR-style) dataset with softras_* split lists and
+    NDC-normalized cameras.npz projections."""
+    if focal is None:
+        focal = 0.85 * image_size
+    cat_dir = os.path.join(out_dir, category)
+    os.makedirs(cat_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    W = H = image_size
+    obj_names = []
+    for oi in range(n_objs):
+        name = f"obj{oi:04d}"
+        obj_names.append(name)
+        obj_dir = os.path.join(cat_dir, name)
+        img_dir = os.path.join(obj_dir, "image")
+        os.makedirs(img_dir, exist_ok=True)
+        params = _object_params(rng)
+        poses = _camera_ring(n_views, seed=seed * 1000 + oi)
+        cams = {}
+        for vi in range(n_views):
+            img = render_sphere_image(poses[vi], W, H, focal, **params)
+            _save_png(os.path.join(img_dir, f"{vi:04d}.png"), img)
+            # CV projection in NDC: K_ndc = diag(f/(W/2), f/(H/2), 1), c at center
+            K = np.array(
+                [
+                    [focal / (W / 2.0), 0, 0],
+                    [0, focal / (H / 2.0), 0],
+                    [0, 0, 1],
+                ],
+                np.float64,
+            )
+            w2c_gl = np.linalg.inv(poses[vi].astype(np.float64))
+            w2c_cv = np.diag([1.0, -1.0, -1.0, 1.0]) @ w2c_gl
+            cams[f"world_mat_{vi}"] = (K @ w2c_cv[:3, :4]).astype(np.float32)
+            cams[f"camera_mat_{vi}"] = K.astype(np.float32)
+        np.savez(os.path.join(obj_dir, "cameras.npz"), **cams)
+
+    n_train = max(1, n_objs - 2)
+    splits = {
+        "train": obj_names[:n_train],
+        "val": obj_names[n_train : n_train + 1] or obj_names[:1],
+        "test": obj_names[n_train + 1 :] or obj_names[:1],
+    }
+    for split, names in splits.items():
+        with open(os.path.join(cat_dir, f"softras_{split}.lst"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    with open(os.path.join(out_dir, "metadata.yaml"), "w") as f:
+        f.write(f"{category}:\n  name: synthetic car\n")
+    return out_dir
+
+
+def write_synthetic_srn(
+    out_dir: str,
+    n_objs: int = 2,
+    n_views: int = 10,
+    image_size: int = 64,
+    focal: float = None,
+    category: str = "car",
+    seed: int = 0,
+) -> str:
+    """Write an SRN-format dataset (<cat>_<split>/<obj>/{rgb,pose,intrinsics})."""
+    if focal is None:
+        focal = 0.85 * image_size
+    rng = np.random.default_rng(seed)
+    W = H = image_size
+    for split, count in (("train", n_objs), ("val", 1), ("test", 1)):
+        split_dir = os.path.join(out_dir, f"{category}_{split}")
+        for oi in range(count):
+            obj_dir = os.path.join(split_dir, f"obj{oi:04d}")
+            os.makedirs(os.path.join(obj_dir, "rgb"), exist_ok=True)
+            os.makedirs(os.path.join(obj_dir, "pose"), exist_ok=True)
+            params = _object_params(rng)
+            poses = _camera_ring(n_views, seed=seed * 7777 + oi)
+            for vi in range(n_views):
+                img = render_sphere_image(poses[vi], W, H, focal, **params)
+                _save_png(os.path.join(obj_dir, "rgb", f"{vi:06d}.png"), img)
+                pose_cv = poses[vi] @ CV_TO_GL  # loader re-applies CV_TO_GL
+                np.savetxt(
+                    os.path.join(obj_dir, "pose", f"{vi:06d}.txt"),
+                    pose_cv.reshape(1, 16),
+                )
+            with open(os.path.join(obj_dir, "intrinsics.txt"), "w") as f:
+                f.write(f"{focal} {W/2.0} {H/2.0} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
+    return out_dir
+
+
+def write_synthetic_multi_obj(
+    out_dir: str, n_scenes: int = 2, n_views: int = 8, image_size: int = 64, seed: int = 0
+) -> str:
+    """Write NeRF-format transforms.json scenes (multi_obj layout)."""
+    import math
+
+    W = H = image_size
+    focal = 0.85 * image_size
+    camera_angle_x = 2.0 * math.atan(0.5 * W / focal)
+    rng = np.random.default_rng(seed)
+    for split in ("train", "val", "test"):
+        for si in range(n_scenes if split == "train" else 1):
+            scene_dir = os.path.join(out_dir, split, f"scene{si:04d}")
+            os.makedirs(scene_dir, exist_ok=True)
+            params = _object_params(rng)
+            poses = _camera_ring(n_views, seed=seed * 31 + si)
+            frames = []
+            for vi in range(n_views):
+                img = render_sphere_image(poses[vi], W, H, focal, **params)
+                fname = f"r_{vi:03d}.png"
+                _save_png(os.path.join(scene_dir, fname), img)
+                frames.append(
+                    {
+                        "file_path": f"./{fname}",
+                        "transform_matrix": poses[vi].tolist(),
+                    }
+                )
+            with open(os.path.join(scene_dir, "transforms.json"), "w") as f:
+                json.dump(
+                    {"camera_angle_x": camera_angle_x, "frames": frames}, f
+                )
+    return out_dir
+
+
+class SyntheticDataset(BaseDataset):
+    """In-memory sphere dataset (no disk IO) for fast tests and benchmarks."""
+
+    def __init__(
+        self,
+        n_objs: int = 4,
+        n_views: int = 8,
+        image_size: int = 64,
+        focal: float = None,
+        seed: int = 0,
+    ):
+        self.n_objs = n_objs
+        self.n_views = n_views
+        self.image_size = image_size
+        self.focal = focal if focal is not None else 0.85 * image_size
+        self.seed = seed
+        self.z_near, self.z_far = 0.8, 1.8
+        self.lindisp = False
+
+    def __len__(self) -> int:
+        return self.n_objs
+
+    def __getitem__(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed * 997 + index)
+        params = _object_params(rng)
+        poses = _camera_ring(self.n_views, seed=self.seed * 131 + index)
+        W = H = self.image_size
+        images, masks, bboxes = [], [], []
+        for vi in range(self.n_views):
+            img01 = render_sphere_image(poses[vi], W, H, self.focal, **params)
+            img = img01 * 2.0 - 1.0
+            mask = (~np.all(img01 > 0.996, axis=-1)).astype(np.float32)[..., None]
+            images.append(img)
+            masks.append(mask)
+            bboxes.append(mask_to_bbox(mask))
+        return {
+            "path": f"synthetic/{index}",
+            "img_id": index,
+            "images": np.stack(images).astype(np.float32),
+            "poses": poses.astype(np.float32),
+            "masks": np.stack(masks).astype(np.float32),
+            "bbox": np.stack(bboxes).astype(np.float32),
+            "focal": np.float32(self.focal),
+        }
