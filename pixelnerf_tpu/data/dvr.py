@@ -162,9 +162,17 @@ class DVRDataset(BaseDataset):
 
         focals = np.asarray(focals, dtype=np.float32)
         cs = np.asarray(cs, dtype=np.float32)
-        # collapse per-view intrinsics when constant (the common case)
-        focal = focals[0] if np.allclose(focals, focals[0], atol=1e-4) else focals
-        c = cs[0] if np.allclose(cs, cs[0], atol=1e-4) else cs
+        # Shape discipline (encode treats 1-D focal/c as *per-view* scalars,
+        # backup2:133-135): scalar when isotropic+constant, else (1,2) or (NV,2).
+        if np.allclose(focals, focals[0], atol=1e-4):
+            focal = (
+                np.float32(focals[0, 0])
+                if abs(focals[0, 0] - focals[0, 1]) < 1e-4
+                else focals[:1]
+            )
+        else:
+            focal = focals
+        c = cs[:1] if np.allclose(cs, cs[0], atol=1e-4) else cs
 
         return {
             "path": obj_dir,

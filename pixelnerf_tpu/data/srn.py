@@ -93,6 +93,7 @@ class SRNDataset(BaseDataset):
             "masks": np.stack(masks).astype(np.float32),
             "bbox": np.stack(bboxes).astype(np.float32),
             "focal": np.float32(focal * self.world_scale),
-            "c": np.array([cx, cy], dtype=np.float32),
+            "c": np.array([[cx, cy]], dtype=np.float32),  # (1,2): see encode's
+            # 1-D-means-per-view convention (backup2:133-135)
         }
         return result

@@ -185,23 +185,34 @@ class PixelNeRFNet(nn.Module):
 
         w2c = invert_poses(poses)  # (B, 3, 4)
 
-        focal = jnp.asarray(focal, jnp.float32)
-        if focal.ndim == 0:
-            focal = focal[None, None] * jnp.ones((1, 2), jnp.float32)
-        elif focal.ndim == 1:
-            focal = jnp.broadcast_to(focal[:, None], (focal.shape[0], 2))
-        focal = focal * jnp.array([1.0, -1.0], jnp.float32)  # -fy (backup2:139)
-        focal = jnp.broadcast_to(focal, (B, 2)) if focal.shape[0] == 1 else focal
+        def norm_intrinsic(x):
+            """() | (K,) per-obj/view scalars | (K,2) | (SB,1,2) -> (B, 2).
+            K==1 broadcasts; K==SB repeat-interleaves over NS (the reference
+            repeats per-object intrinsics at query time, backup2:216-221)."""
+            x = jnp.asarray(x, jnp.float32)
+            if x.ndim == 0:
+                x = jnp.broadcast_to(x[None, None], (1, 2))
+            elif x.ndim == 1:
+                x = jnp.broadcast_to(x[:, None], (x.shape[0], 2))
+            else:
+                x = x.reshape(-1, x.shape[-1])
+            if x.shape[0] == 1:
+                return jnp.broadcast_to(x, (B, 2))
+            if x.shape[0] != B:
+                assert B % x.shape[0] == 0, (x.shape, B)
+                return repeat_interleave(x, B // x.shape[0])
+            return x
+
+        focal = norm_intrinsic(focal) * jnp.array(
+            [1.0, -1.0], jnp.float32
+        )  # -fy (backup2:139)
 
         if c is None:
-            c = jnp.array([[W * 0.5, H * 0.5]], jnp.float32)
+            c = jnp.broadcast_to(
+                jnp.array([[W * 0.5, H * 0.5]], jnp.float32), (B, 2)
+            )
         else:
-            c = jnp.asarray(c, jnp.float32)
-            if c.ndim == 0:
-                c = c[None, None] * jnp.ones((1, 2), jnp.float32)
-            elif c.ndim == 1:
-                c = jnp.broadcast_to(c[:, None], (c.shape[0], 2))
-        c = jnp.broadcast_to(c, (B, 2)) if c.shape[0] == 1 else c
+            c = norm_intrinsic(c)
 
         global_latent = None
         if self.use_global_encoder:

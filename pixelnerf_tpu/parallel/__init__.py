@@ -1,0 +1,4 @@
+from .mesh import make_ray_mesh, make_train_mesh
+from .pipeline import RenderPipeline
+
+__all__ = ["RenderPipeline", "make_ray_mesh", "make_train_mesh"]

@@ -1,0 +1,710 @@
+"""Epoch-based training harness.
+
+Rebuild of the reference trainer stack (train/trainlib/trainer.py:111-715 +
+train/train.py:178-537) as a host-side loop around one jitted TPU train step:
+
+  * per-object random pixel-ray sampling, bbox-guided until ``no_bbox_step``
+    (train.py:251-300) — host numpy, static (SB, R) shapes;
+  * the whole encode -> render -> loss -> grad -> Adam update is ONE XLA program
+    (`make_train_step`); the reference's AMP GradScaler path (train.py:385-398)
+    maps to TPU bf16 matmuls, which need no loss scaling — ``use_amp`` toggles
+    the default bf16 matmul precision vs forced fp32;
+  * epoch checkpointing with the fork's retention policies
+    (epoch_%04d / latest / best, keep_last | milestone | keep_all,
+    trainer.py:465-618) in flax msgpack, carrying optimizer + LR-schedule +
+    renderer-schedule + epoch/global_step state;
+  * resume with epoch/global_step consistency auto-repair (trainer.py:648-665);
+  * TensorBoard scalars/images matching the reference tags (SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import flax.serialization
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loader import DataLoader
+from ..models.losses import get_rgb_loss
+from ..models.pixelnerf import PixelNeRFNet
+from ..render.renderer import NeRFRenderer, RenderConfig, render_rays
+from ..utils import geometry, metrics
+
+Array = jnp.ndarray
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array  # global step counter (device scalar)
+
+
+# ---------------------------------------------------------------------------
+# Host-side batch preparation (ray sampling)
+# ---------------------------------------------------------------------------
+
+
+def prepare_ray_batch(
+    data: dict,
+    nviews: int,
+    ray_batch_size: int,
+    z_near: float,
+    z_far: float,
+    use_bbox: bool,
+    rng: np.random.Generator,
+) -> Optional[dict]:
+    """Sample per-object pixel rays + source views (reference train.py:237-330).
+
+    :param data: collated batch (images (SB,NV,H,W,3) in [-1,1], poses, focal,
+        optional c/bbox)
+    :return: dict with src_images (SB,NS,H,W,3), src_poses, focal, c, rays
+        (SB,R,8), rgb_gt (SB,R,3)
+    """
+    if "images" not in data:
+        return None
+    all_images = data["images"]
+    SB, NV, H, W = all_images.shape[:4]
+    all_poses = data["poses"]
+    all_bboxes = data.get("bbox") if use_bbox else None
+    all_focals = np.asarray(data["focal"])
+    all_c = data.get("c")
+
+    src_images, src_poses = [], []
+    all_rays, all_rgb_gt = [], []
+    for obj_idx in range(SB):
+        images = all_images[obj_idx]
+        poses = all_poses[obj_idx]
+        focal = all_focals[obj_idx]
+        c = None if all_c is None else np.asarray(all_c[obj_idx])
+
+        if nviews == 1:
+            image_ord = rng.integers(0, NV, (1,))
+        else:
+            image_ord = rng.choice(NV, nviews, replace=False)
+
+        images_0to1 = images * 0.5 + 0.5
+        cam_rays = geometry.gen_rays_np(
+            poses, W, H, focal, z_near, z_far, c=c
+        )  # (NV, H, W, 8)
+        rgb_gt_all = images_0to1.reshape(-1, 3)
+
+        if all_bboxes is not None:
+            pix = geometry.bbox_sample_np(
+                all_bboxes[obj_idx], ray_batch_size, rng
+            )
+            pix_inds = pix[:, 0] * H * W + pix[:, 1] * W + pix[:, 2]
+        else:
+            pix_inds = rng.integers(0, NV * H * W, (ray_batch_size,))
+
+        all_rgb_gt.append(rgb_gt_all[pix_inds])
+        all_rays.append(cam_rays.reshape(-1, 8)[pix_inds])
+        src_images.append(images[image_ord])
+        src_poses.append(poses[image_ord])
+
+    batch = {
+        "src_images": np.stack(src_images).astype(np.float32),
+        "src_poses": np.stack(src_poses).astype(np.float32),
+        "focal": all_focals.astype(np.float32),
+        "rays": np.stack(all_rays).astype(np.float32),
+        "rgb_gt": np.stack(all_rgb_gt).astype(np.float32),
+    }
+    if all_c is not None:
+        batch["c"] = np.asarray(all_c, np.float32)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# The jitted train/eval step
+# ---------------------------------------------------------------------------
+
+
+def make_step_fns(
+    net: PixelNeRFNet,
+    optimizer: optax.GradientTransformation,
+    render_cfg: RenderConfig,
+    lambda_coarse: float,
+    lambda_fine: float,
+    rgb_coarse_crit: Callable,
+    rgb_fine_crit: Callable,
+    use_viewdirs: bool,
+    amp: bool = True,
+):
+    """Build jitted (train_step, eval_step).  ``amp=True`` keeps TPU-default
+    bf16 matmuls (the AMP equivalent); False forces fp32 everywhere."""
+    precision_ctx = (
+        (lambda: jax.default_matmul_precision("highest"))
+        if not amp
+        else (lambda: jax.default_matmul_precision("default"))
+    )
+
+    def compute_loss(params, batch_stats, batch, rng, training: bool):
+        rng_render, rng_drop = jax.random.split(rng)
+        variables = {"params": params, "batch_stats": batch_stats}
+        c = batch.get("c")
+        if training:
+            scene, mutated = net.apply(
+                variables,
+                batch["src_images"],
+                batch["src_poses"],
+                batch["focal"],
+                c=c,
+                train=True,
+                method=PixelNeRFNet.encode,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            new_batch_stats = mutated["batch_stats"]
+        else:
+            scene = net.apply(
+                variables,
+                batch["src_images"],
+                batch["src_poses"],
+                batch["focal"],
+                c=c,
+                train=False,
+                method=PixelNeRFNet.encode,
+            )
+            new_batch_stats = batch_stats
+
+        qvars = {"params": params, "batch_stats": new_batch_stats}
+
+        def field(points, viewdirs, coarse):
+            return net.apply(
+                qvars,
+                scene,
+                points,
+                viewdirs=viewdirs if use_viewdirs else None,
+                coarse=coarse,
+                method=PixelNeRFNet.query,
+            )
+
+        out = render_rays(
+            field,
+            batch["rays"],
+            rng_render,
+            render_cfg,
+            want_weights=False,
+            training=training,
+            use_viewdirs=use_viewdirs,
+        )
+        rgb_gt = batch["rgb_gt"]
+        loss_c = rgb_coarse_crit(out["coarse"]["rgb"], rgb_gt)
+        loss_dict = {"rc": loss_c * lambda_coarse}
+        loss = loss_c * lambda_coarse
+        if "fine" in out:
+            loss_f = rgb_fine_crit(out["fine"]["rgb"], rgb_gt)
+            loss = loss + loss_f * lambda_fine
+            loss_dict["rf"] = loss_f * lambda_fine
+        loss_dict["t"] = loss
+        return loss, (new_batch_stats, loss_dict)
+
+    def train_step(state: TrainState, batch: dict, rng: Array):
+        with precision_ctx():
+            grad_fn = jax.value_and_grad(
+                lambda p: compute_loss(p, state.batch_stats, batch, rng, True),
+                has_aux=True,
+            )
+            (loss, (new_bs, loss_dict)), grads = grad_fn(state.params)
+            updates, new_opt = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            loss_dict = dict(loss_dict, grad_norm=gnorm)
+            return (
+                state.replace(
+                    params=new_params,
+                    batch_stats=new_bs,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                loss_dict,
+            )
+
+    def eval_step(state: TrainState, batch: dict, rng: Array):
+        with precision_ctx():
+            loss, (_, loss_dict) = compute_loss(
+                state.params, state.batch_stats, batch, rng, False
+            )
+            return loss_dict
+
+    return jax.jit(train_step), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint manager (fork scheme: epoch_%04d / latest / best + retention)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        ckpt_dir: str,
+        strategy: str = "keep_last",
+        keep_last: int = 20,
+        milestone_interval: int = 50,
+    ):
+        self.ckpt_dir = ckpt_dir
+        self.strategy = strategy
+        self.keep_last = keep_last
+        self.milestone_interval = milestone_interval
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _epoch_path(self, epoch: int) -> str:
+        return os.path.join(self.ckpt_dir, f"epoch_{epoch:04d}.ckpt")
+
+    def save(self, payload: dict, epoch: int, is_best: bool = False) -> None:
+        data = flax.serialization.to_bytes(payload)
+        path = self._epoch_path(epoch)
+        with open(path + ".tmp", "wb") as f:
+            f.write(data)
+        os.replace(path + ".tmp", path)
+        # latest stamped epoch+1 so a restart resumes the *next* epoch
+        # (reference trainer.py:474-478)
+        latest = dict(payload, epoch=epoch + 1)
+        with open(os.path.join(self.ckpt_dir, "latest.ckpt.tmp"), "wb") as f:
+            f.write(flax.serialization.to_bytes(latest))
+        os.replace(
+            os.path.join(self.ckpt_dir, "latest.ckpt.tmp"),
+            os.path.join(self.ckpt_dir, "latest.ckpt"),
+        )
+        if is_best:
+            with open(os.path.join(self.ckpt_dir, "best.ckpt"), "wb") as f:
+                f.write(data)
+        self.cleanup()
+
+    def epochs_on_disk(self) -> List[int]:
+        out = []
+        for p in glob.glob(os.path.join(self.ckpt_dir, "epoch_*.ckpt")):
+            m = re.match(r"epoch_(\d+)\.ckpt$", os.path.basename(p))
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def cleanup(self) -> None:
+        """Retention policies (reference trainer.py:481-551)."""
+        if self.strategy == "keep_all":
+            return
+        epochs = self.epochs_on_disk()
+        to_delete = []
+        if self.strategy == "keep_last":
+            to_delete = epochs[: -self.keep_last] if self.keep_last > 0 else []
+        elif self.strategy == "milestone":
+            to_delete = [
+                e
+                for e in epochs[: -1]
+                if self.milestone_interval <= 0
+                or e % self.milestone_interval != 0
+            ]
+        for e in to_delete:
+            try:
+                os.remove(self._epoch_path(e))
+            except OSError:
+                pass
+
+    def disk_usage_mb(self) -> float:
+        total = 0
+        for p in glob.glob(os.path.join(self.ckpt_dir, "*.ckpt")):
+            total += os.path.getsize(p)
+        return total / 1e6
+
+    def load_latest(self, target_payload: dict) -> Optional[dict]:
+        path = os.path.join(self.ckpt_dir, "latest.ckpt")
+        if not os.path.exists(path):
+            epochs = self.epochs_on_disk()
+            if not epochs:
+                return None
+            path = self._epoch_path(epochs[-1])
+        with open(path, "rb") as f:
+            return flax.serialization.from_bytes(target_payload, f.read())
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    """Generic epoch trainer (reference trainlib/trainer.py:111-715).  Subclass
+    hooks: ``post_batch``, ``extra_save_state``, ``vis_step``."""
+
+    def __init__(
+        self,
+        net: PixelNeRFNet,
+        init_variables: dict,
+        train_dataset,
+        test_dataset,
+        renderer: NeRFRenderer,
+        args,
+        conf,  # full conf tree
+        device_rng: Optional[Array] = None,
+    ):
+        self.net = net
+        self.renderer = renderer
+        self.args = args
+        self.conf = conf
+        train_conf = conf["train"] if "train" in conf else None
+
+        def tc(key, default):
+            if train_conf is None:
+                return default
+            getter = {
+                int: train_conf.get_int,
+                float: train_conf.get_float,
+                bool: train_conf.get_bool,
+                str: train_conf.get_string,
+            }[type(default)]
+            return getter(key, default)
+
+        self.print_interval = tc("print_interval", 2)
+        self.save_interval = tc("save_interval", 50)
+        self.vis_interval = tc("vis_interval", 100)
+        self.eval_interval = tc("eval_interval", 50)
+        self.num_epoch_repeats = tc("num_epoch_repeats", 1)
+        self.num_epochs = args.epochs
+        self.accu_grad = tc("accu_grad", 1)
+        self.use_amp = getattr(args, "use_amp", tc("use_amp", True))
+        self.grad_clip = getattr(args, "grad_clip", tc("grad_clip", 0.0))
+        self.check_gradients = getattr(
+            args, "check_gradients", tc("check_gradients", False)
+        )
+
+        batch_size = getattr(args, "batch_size", tc("batch_size", 4))
+        self.train_loader = DataLoader(
+            train_dataset, batch_size=batch_size, shuffle=True, seed=0
+        )
+        self.test_loader = DataLoader(
+            test_dataset, batch_size=min(batch_size, 4), shuffle=True, seed=1
+        )
+
+        self.z_near = train_dataset.z_near
+        self.z_far = train_dataset.z_far
+
+        # --- optimizer + LR schedule (trainer.py:169-189 / fork conf keys) ---
+        steps_per_epoch = max(
+            1, len(self.train_loader) * self.num_epoch_repeats
+        )
+        lr = getattr(args, "lr", None) or tc("lr", 1e-4)
+        gamma = getattr(args, "gamma", 1.0)
+        lr_policy = tc("lr_policy", "exp" if gamma != 1.0 else "const")
+        if lr_policy == "step":
+            decay_epochs = tc("lr_decay_epochs", 50)
+            factor = tc("lr_decay_factor", 0.5)
+            schedule = optax.exponential_decay(
+                lr,
+                transition_steps=decay_epochs * steps_per_epoch,
+                decay_rate=factor,
+                staircase=True,
+            )
+        elif lr_policy == "exp" and gamma != 1.0:
+            schedule = optax.exponential_decay(
+                lr,
+                transition_steps=steps_per_epoch,
+                decay_rate=gamma,
+                staircase=True,
+            )
+        else:
+            schedule = lr
+        self._schedule = schedule
+
+        txs = []
+        if self.check_gradients and self.grad_clip > 0:
+            txs.append(optax.clip_by_global_norm(self.grad_clip))
+        txs.append(
+            optax.adam(
+                schedule, b1=tc("beta1", 0.9), b2=tc("beta2", 0.999)
+            )
+        )
+        wd = tc("weight_decay", 0.0)
+        if wd > 0:
+            txs.insert(-1, optax.add_decayed_weights(wd))
+        self.optimizer = optax.chain(*txs)
+
+        self.state = TrainState(
+            params=init_variables["params"],
+            batch_stats=init_variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(init_variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        # --- losses (conf loss subtree, train.py:196-207) ---
+        loss_conf = conf["loss"] if "loss" in conf else None
+        if loss_conf is not None:
+            self.lambda_coarse = loss_conf.get_float("lambda_coarse", 1.0)
+            self.lambda_fine = loss_conf.get_float("lambda_fine", 1.0)
+            crit_c = get_rgb_loss(loss_conf["rgb"], coarse=True)
+            fine_sub = (
+                loss_conf["rgb_fine"] if "rgb_fine" in loss_conf else loss_conf["rgb"]
+            )
+            crit_f = get_rgb_loss(fine_sub, coarse=False)
+        else:
+            self.lambda_coarse = self.lambda_fine = 1.0
+            from ..models.losses import l2_loss
+
+            crit_c = crit_f = l2_loss
+
+        self.use_viewdirs = net.conf.get_bool("use_viewdirs", False)
+        self._crit_c, self._crit_f = crit_c, crit_f
+        self._train_step, self._eval_step = make_step_fns(
+            net,
+            self.optimizer,
+            renderer.cfg,
+            self.lambda_coarse,
+            self.lambda_fine,
+            crit_c,
+            crit_f,
+            self.use_viewdirs,
+            amp=self.use_amp,
+        )
+        self._step_cfg = renderer.cfg
+
+        # --- bookkeeping ---
+        self.epoch = 0
+        self.global_step = 0
+        self.best_val_loss = float("inf")
+        self.managed_weight_saving = True
+        exp_name = args.name
+        self.ckpt_dir = os.path.join(args.checkpoints_path, exp_name)
+        self.ckpt_manager = CheckpointManager(
+            self.ckpt_dir,
+            strategy=tc("ckpt_strategy", "keep_last"),
+            keep_last=tc("keep_last", 20),
+            milestone_interval=tc("milestone_interval", 50),
+        )
+        self.visual_path = os.path.join(args.visual_path, exp_name)
+        os.makedirs(self.visual_path, exist_ok=True)
+
+        self.writer = None
+        logs_path = os.path.join(args.logs_path, exp_name)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(logs_path)
+        except Exception as e:
+            print(f"TensorBoard writer unavailable: {e}")
+
+        self.rng = np.random.default_rng(getattr(args, "seed", 1234))
+        self.jrng = device_rng if device_rng is not None else jax.random.PRNGKey(7)
+
+        self.use_bbox = getattr(args, "no_bbox_step", 100000) > 0
+        self.nviews: List[int] = [
+            int(x) for x in str(getattr(args, "nviews", "1")).split()
+        ]
+
+        if getattr(args, "resume", False):
+            self.load_checkpoint()
+
+    # -------------------- checkpoint payload --------------------
+    def _payload(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "best_val_loss": self.best_val_loss,
+            "state": flax.serialization.to_state_dict(self.state),
+            "renderer": self.renderer.state_dict(),
+        }
+
+    def save_checkpoint(self, is_best: bool = False) -> None:
+        self.ckpt_manager.save(self._payload(), self.epoch, is_best=is_best)
+        print(
+            f"Saved checkpoint epoch {self.epoch} "
+            f"({self.ckpt_manager.disk_usage_mb():.1f} MB on disk)"
+        )
+
+    def load_checkpoint(self) -> bool:
+        payload = self.ckpt_manager.load_latest(self._payload())
+        if payload is None:
+            print("No checkpoint found; starting fresh")
+            return False
+        self.epoch = int(payload["epoch"])
+        self.global_step = int(payload["global_step"])
+        self.best_val_loss = float(payload["best_val_loss"])
+        self.state = flax.serialization.from_state_dict(
+            self.state, payload["state"]
+        )
+        self.renderer.load_state_dict(payload["renderer"])
+        # epoch/global_step consistency auto-repair (trainer.py:648-665)
+        steps_per_epoch = len(self.train_loader) * self.num_epoch_repeats
+        expected = self.epoch * steps_per_epoch
+        if steps_per_epoch > 0 and abs(self.global_step - expected) > steps_per_epoch:
+            print(
+                f"WARNING: checkpoint global_step {self.global_step} inconsistent "
+                f"with epoch {self.epoch} (expected ~{expected}); auto-correcting"
+            )
+            self.global_step = expected
+        print(f"Resumed from epoch {self.epoch}, step {self.global_step}")
+        return True
+
+    # -------------------- steps --------------------
+    def _maybe_rebuild_step(self):
+        """Renderer schedule changed -> rebuild the jitted step for the new
+        static sample counts."""
+        if self.renderer.cfg != self._step_cfg:
+            self._train_step, self._eval_step = make_step_fns(
+                self.net,
+                self.optimizer,
+                self.renderer.cfg,
+                self.lambda_coarse,
+                self.lambda_fine,
+                self._crit_c,
+                self._crit_f,
+                self.use_viewdirs,
+                amp=self.use_amp,
+            )
+            self._step_cfg = self.renderer.cfg
+
+    def _prep(self, data, is_train: bool = True) -> Optional[dict]:
+        nviews = int(self.nviews[self.rng.integers(0, len(self.nviews))])
+        use_bbox = is_train and self.use_bbox
+        batch = prepare_ray_batch(
+            data,
+            nviews,
+            self.args.ray_batch_size,
+            self.z_near,
+            self.z_far,
+            use_bbox,
+            self.rng,
+        )
+        return batch
+
+    def train_step(self, data) -> Optional[Dict[str, float]]:
+        if (
+            self.use_bbox
+            and self.global_step >= getattr(self.args, "no_bbox_step", 100000)
+        ):
+            self.use_bbox = False
+            print(">>> Stopped using bbox sampling @ iter", self.global_step)
+        batch = self._prep(data, is_train=True)
+        if batch is None:
+            return None
+        self.jrng, step_rng = jax.random.split(self.jrng)
+        self.state, loss_dict = self._train_step(
+            self.state, {k: jnp.asarray(v) for k, v in batch.items()}, step_rng
+        )
+        return {k: float(v) for k, v in loss_dict.items()}
+
+    def eval_step(self, data) -> Optional[Dict[str, float]]:
+        batch = self._prep(data, is_train=False)
+        if batch is None:
+            return None
+        self.jrng, step_rng = jax.random.split(self.jrng)
+        loss_dict = self._eval_step(
+            self.state, {k: jnp.asarray(v) for k, v in batch.items()}, step_rng
+        )
+        return {k: float(v) for k, v in loss_dict.items()}
+
+    def post_batch(self, epoch: int, batch_idx: int) -> None:
+        self.renderer.sched_step(1)
+        self._maybe_rebuild_step()
+
+    def vis_step(self, data) -> Optional[Tuple[np.ndarray, float]]:
+        return None  # implemented by PixelNeRFTrainer
+
+    # -------------------- loops --------------------
+    def current_lr(self) -> float:
+        if callable(self._schedule):
+            return float(self._schedule(int(self.global_step)))
+        return float(self._schedule)
+
+    def train_epoch(self) -> Dict[str, float]:
+        t_start = time.time()
+        n_batches = 0
+        last: Dict[str, float] = {}
+        for _ in range(self.num_epoch_repeats):
+            self.train_loader.set_epoch(self.epoch)
+            for batch_idx, data in enumerate(self.train_loader):
+                loss_dict = self.train_step(data)
+                if loss_dict is None:
+                    continue
+                self.global_step += 1
+                n_batches += 1
+                last = loss_dict
+                if (
+                    self.writer is not None
+                    and self.global_step % self.print_interval == 0
+                ):
+                    for k, v in loss_dict.items():
+                        self.writer.add_scalar(
+                            f"train/{k}", v, self.global_step
+                        )
+                    self.writer.add_scalar(
+                        "train/lr", self.current_lr(), self.global_step
+                    )
+                if self.global_step % self.print_interval == 0:
+                    s_it = (time.time() - t_start) / max(n_batches, 1)
+                    items = " ".join(
+                        f"{k}:{v:.5f}" for k, v in loss_dict.items()
+                    )
+                    print(
+                        f"E{self.epoch} B{batch_idx} {items} "
+                        f"lr:{self.current_lr():.2e} {s_it:.2f}s/it"
+                    )
+                self.post_batch(self.epoch, batch_idx)
+        return last
+
+    def validate(self) -> float:
+        losses = []
+        for data in self.test_loader:
+            try:
+                ld = self.eval_step(data)
+            except Exception as e:  # skip bad batches (trainer.py:440-443)
+                print(f"validate: skipping batch ({e})")
+                continue
+            if ld is not None:
+                losses.append(ld["t"])
+        val_loss = float(np.mean(losses)) if losses else float("inf")
+        if self.writer is not None:
+            self.writer.add_scalar("val/loss", val_loss, self.global_step)
+        return val_loss
+
+    def start(self) -> None:
+        """Main loop (reference trainer.py:670-714)."""
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, self.num_epochs):
+            self.epoch = epoch
+            self.train_epoch()
+
+            is_best = False
+            if (epoch + 1) % self.eval_interval == 0 or epoch == self.num_epochs - 1:
+                val_loss = self.validate()
+                print(f"Epoch {epoch}: val loss {val_loss:.5f}")
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    is_best = True
+            if (epoch + 1) % self.save_interval == 0 or epoch == self.num_epochs - 1:
+                self.save_checkpoint(is_best=is_best)
+            if (epoch + 1) % self.vis_interval == 0:
+                try:
+                    data = next(iter(self.test_loader))
+                    vis = self.vis_step(data)
+                    if vis is not None:
+                        vis_img, vis_psnr = vis
+                        import imageio.v2 as imageio
+
+                        path = os.path.join(
+                            self.visual_path, f"{epoch:04d}_vis.png"
+                        )
+                        imageio.imwrite(path, vis_img)
+                        if self.writer is not None:
+                            self.writer.add_image(
+                                "vis",
+                                vis_img.transpose(2, 0, 1),
+                                self.global_step,
+                            )
+                            self.writer.add_scalar(
+                                "vis/psnr", vis_psnr, self.global_step
+                            )
+                        print(f"Wrote vis to {path} (psnr {vis_psnr:.2f})")
+                except Exception as e:
+                    print(f"vis_step failed: {e}")
+        self.epoch = self.num_epochs

@@ -94,6 +94,59 @@ def gen_rays(
     return jnp.concatenate([cam_centers, cam_raydir, nears, fars], axis=-1)
 
 
+def gen_rays_np(
+    poses: np.ndarray,
+    width: int,
+    height: int,
+    focal,
+    z_near: float,
+    z_far: float,
+    c=None,
+) -> np.ndarray:
+    """Pure-numpy gen_rays (same math as :func:`gen_rays`) for host-side ray
+    generation in the data/training path — no device round-trip for tiny arrays."""
+    poses = np.asarray(poses, np.float32)
+    f = np.atleast_1d(np.asarray(focal, np.float32).squeeze())
+    fx, fy = (f[0], f[0]) if f.size == 1 else (f[0], f[1])
+    if c is None:
+        cx, cy = width * 0.5, height * 0.5
+    else:
+        cc = np.asarray(c, np.float32).reshape(-1)
+        cx, cy = cc[0], cc[1]
+    xs = (np.arange(width, dtype=np.float32) - cx) / fx
+    ys = (np.arange(height, dtype=np.float32) - cy) / fy
+    X, Y = np.meshgrid(xs, ys)
+    dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    B = poses.shape[0]
+    world_dirs = np.einsum("bij,hwj->bhwi", poses[:, :3, :3], dirs)
+    centers = np.broadcast_to(poses[:, None, None, :3, 3], world_dirs.shape)
+    nears = np.full(world_dirs.shape[:-1] + (1,), z_near, np.float32)
+    fars = np.full(world_dirs.shape[:-1] + (1,), z_far, np.float32)
+    return np.concatenate(
+        [centers, world_dirs, nears, fars], axis=-1
+    ).astype(np.float32)
+
+
+def bbox_sample_np(
+    bboxes: np.ndarray, num_pix: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Sample pixel indices inside per-view foreground bboxes (util.py:450-463).
+
+    :param bboxes: (NV, 4) [cmin, rmin, cmax, rmax]
+    :return: (num_pix, 3) [view, y, x]
+    """
+    image_ids = rng.integers(0, bboxes.shape[0], (num_pix,))
+    pb = bboxes[image_ids]
+    x = (rng.random(num_pix) * (pb[:, 2] + 1 - pb[:, 0]) + pb[:, 0]).astype(
+        np.int64
+    )
+    y = (rng.random(num_pix) * (pb[:, 3] + 1 - pb[:, 1]) + pb[:, 1]).astype(
+        np.int64
+    )
+    return np.stack([image_ids, y, x], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Pose constructors (used by gen_video / eval_real camera paths)
 # ---------------------------------------------------------------------------

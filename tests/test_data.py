@@ -80,8 +80,9 @@ def test_dvr_adapter_roundtrip(tmp_path):
     data = train[0]
     check_contract(data)
     check_poses_look_at_origin(data["poses"])
-    np.testing.assert_allclose(np.asarray(data["focal"]), [30.0, 30.0], atol=1e-3)
-    np.testing.assert_allclose(np.asarray(data["c"]), [16.0, 16.0], atol=1e-3)
+    np.testing.assert_allclose(float(data["focal"]), 30.0, atol=1e-3)
+    # c is (1, 2): 1-D would mean per-view scalars under encode's convention
+    np.testing.assert_allclose(np.asarray(data["c"]), [[16.0, 16.0]], atol=1e-3)
 
 
 def test_dvr_gen_prefix_fallback(tmp_path):

@@ -1,0 +1,173 @@
+"""Training entry point (CLI parity with reference train/train.py:27-546).
+
+Usage:
+    python train/train.py -n <exp> -c conf/exp/<x>.conf -D <datadir>
+        [-B 4] [-V "1 2"] [--epochs N] [--lr 1e-4] [-R 128] [--resume] ...
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+
+def extra_args(parser):
+    parser.add_argument(
+        "--batch_size", "-B", type=int, default=4, help="Object batch size ('SB')"
+    )
+    parser.add_argument(
+        "--nviews",
+        "-V",
+        type=str,
+        default="1",
+        help="Number of source views (multiview); '1 2' to use 1 or 2 randomly",
+    )
+    parser.add_argument(
+        "--freeze_enc",
+        action="store_true",
+        default=None,
+        help="Freeze encoder weights and only train MLP",
+    )
+    parser.add_argument(
+        "--no_bbox_step",
+        type=int,
+        default=100000,
+        help="Step to stop using bbox sampling",
+    )
+    parser.add_argument(
+        "--fixed_test",
+        action="store_true",
+        default=None,
+        help="Freeze test view for visualization",
+    )
+    parser.add_argument("--use_amp", action="store_true", default=None)
+    parser.add_argument("--no_amp", action="store_true", default=None)
+    parser.add_argument("--check_gradients", action="store_true", default=None)
+    parser.add_argument("--grad_clip", type=float, default=1.0)
+    return parser
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_tpu.config import parse_args
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.parallel import RenderPipeline
+    from pixelnerf_tpu.render import NeRFRenderer
+    from pixelnerf_tpu.train import checkpoints
+    from pixelnerf_tpu.train.trainer import Trainer
+    from pixelnerf_tpu.utils import geometry, metrics
+
+    args, conf = parse_args(
+        extra_args, training=True, default_ray_batch_size=128
+    )
+
+    # conf-vs-CLI AMP precedence (reference train.py:92-101)
+    use_amp = conf.get_bool("train.use_amp", True)
+    if args.use_amp:
+        use_amp = True
+    if args.no_amp:
+        use_amp = False
+    args.use_amp = use_amp
+
+    dset, val_dset, _ = get_split_dataset(args.dataset_format, args.datadir)
+    print(
+        "dset z_near {}, z_far {}, lindisp {}".format(
+            dset.z_near, dset.z_far, dset.lindisp
+        )
+    )
+
+    net = make_model(
+        conf["model"], stop_encoder_grad=bool(args.freeze_enc)
+    )
+    renderer = NeRFRenderer.from_conf(
+        conf["renderer"], lindisp=dset.lindisp, eval_batch_size=args.ray_batch_size
+    )
+
+    # --- init model variables from one sample ---
+    sample = dset[0]
+    H, W = sample["images"].shape[1:3]
+    max_nviews = max(int(x) for x in args.nviews.split())
+    init_images = jnp.asarray(
+        sample["images"][None, :max_nviews], jnp.float32
+    )
+    init_poses = jnp.asarray(sample["poses"][None, :max_nviews], jnp.float32)
+    init_focal = jnp.asarray(np.asarray(sample["focal"], np.float32))
+    init_c = sample.get("c")
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        init_images,
+        init_poses,
+        init_focal,
+        jnp.zeros((1, 8, 3), jnp.float32),
+        jnp.zeros((1, 8, 3), jnp.float32),
+        c=jnp.asarray(init_c) if init_c is not None else None,
+    )
+    variables = checkpoints.load_weights(args, variables, opt_init=True)
+
+    class PixelNeRFTrainer(Trainer):
+        def __init__(self):
+            super().__init__(net, variables, dset, val_dset, renderer, args, conf)
+            self._fixed_vis_idx = 0
+
+        def vis_step(self, data):
+            """Render one held-out view; grid = [src | gt | depth | coarse rgb |
+            fine rgb] (reference train.py:423-537)."""
+            images = data["images"][0]  # (NV, H, W, 3)
+            poses = data["poses"][0]
+            focal = np.asarray(data["focal"][0])
+            c = data.get("c")
+            c = None if c is None else np.asarray(c[0])
+            NV = images.shape[0]
+            if getattr(args, "fixed_test", False):
+                src_view = np.array([0])
+                target = min(1, NV - 1)
+            else:
+                perm = self.rng.permutation(NV)
+                src_view, target = perm[:1], int(perm[-1])
+
+            scene = self.net.apply(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                jnp.asarray(images[src_view][None]),
+                jnp.asarray(poses[src_view][None]),
+                jnp.asarray(focal),
+                c=jnp.asarray(c) if c is not None else None,
+                method=PixelNeRFNet.encode,
+            )
+            rays = geometry.gen_rays_np(
+                poses[target : target + 1], W, H, focal, self.z_near, self.z_far, c=c
+            ).reshape(-1, 8)
+            pipeline = RenderPipeline(self.net, self.renderer)
+            out = pipeline.render(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                scene,
+                rays,
+                jax.random.PRNGKey(int(self.global_step)),
+                ray_batch_size=args.ray_batch_size * 16,
+            )
+            branch = out["fine"] if self.renderer.using_fine else out["coarse"]
+            rgb = np.clip(branch["rgb"].reshape(H, W, 3), 0, 1)
+            depth = branch["depth"].reshape(H, W)
+            gt = images[target] * 0.5 + 0.5
+            src_vis = images[src_view[0]] * 0.5 + 0.5
+            vis_psnr = metrics.psnr(rgb, gt)
+            depth_vis = metrics.cmap(depth).astype(np.float32) / 255.0
+            coarse_rgb = np.clip(out["coarse"]["rgb"].reshape(H, W, 3), 0, 1)
+            grid = np.hstack([src_vis, gt, depth_vis, coarse_rgb, rgb])
+            return (grid * 255).astype(np.uint8), vis_psnr
+
+    trainer = PixelNeRFTrainer()
+    trainer.start()
+    # final model weights in the upstream pixel_nerf_latest location
+    checkpoints.save_weights(
+        args,
+        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+    )
+
+
+if __name__ == "__main__":
+    main()
