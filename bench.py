@@ -78,11 +78,13 @@ def main():
     rays = geometry.gen_rays_np(poses, 64, 64, float(focal), 0.8, 1.8).reshape(
         -1, 8
     )
-    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 16384))
+    # -R semantics: upper bound on the device-side ray chunk; the pipeline
+    # renders the whole pass in ONE dispatch (lax.map over chunks on device)
+    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 8192))
 
     rng = jax.random.PRNGKey(1)
     # warmup / compile
-    pipeline.render(variables, scene, rays[:chunk], rng, ray_batch_size=chunk)
+    pipeline.render(variables, scene, rays, rng, ray_batch_size=chunk)
 
     n_timed = 3
     t0 = time.perf_counter()

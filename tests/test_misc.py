@@ -1,0 +1,192 @@
+"""Coverage for losses, metrics, checkpoint IO (incl. torch import), the LPIPS
+converter, and the monitor/diagnostic utilities."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixelnerf_tpu.config import hocon
+from pixelnerf_tpu.models import losses
+from pixelnerf_tpu.utils import metrics
+
+
+def test_rgb_loss_selection():
+    conf = hocon.parse_string("rgb { use_l1 = True }\nrgb2 { use_l1 = False }\nrgb3 { type = l2 }")
+    l1 = losses.get_rgb_loss(conf["rgb"])
+    l2 = losses.get_rgb_loss(conf["rgb2"])
+    l2b = losses.get_rgb_loss(conf["rgb3"])
+    a = jnp.asarray([[1.0, 2.0]])
+    b = jnp.asarray([[0.0, 0.0]])
+    assert float(l1(a, b)) == pytest.approx(1.5)
+    assert float(l2(a, b)) == pytest.approx(2.5)
+    assert float(l2b(a, b)) == pytest.approx(2.5)
+
+
+def test_uncertainty_loss():
+    conf = hocon.parse_string("rgb { use_l1 = False\n use_uncertainty = True }")
+    crit = losses.get_rgb_loss(conf["rgb"], coarse=False)
+    pred = jnp.ones((4, 3))
+    target = jnp.zeros((4, 3))
+    betas = jnp.ones((4,))
+    # mse per elem = 1 -> mean/beta = 1, log(1) = 0
+    assert float(crit(pred, target, betas)) == pytest.approx(1.0)
+
+
+def test_alpha_loss_epoch_gating():
+    conf = hocon.parse_string(
+        "alpha { lambda_alpha = 0.5\n clamp_alpha = 100\n init_epoch = 2 }"
+    )
+    al = losses.get_alpha_loss(conf["alpha"])
+    x = jnp.full((8,), 0.5)
+    assert float(al(x)) == 0.0  # epoch 0 < init_epoch
+    al.sched_step(2)
+    val = float(al(x))
+    # 0.5 * mean(log(.5)+log(.5)) = 0.5 * 2*log(0.5)
+    assert val == pytest.approx(0.5 * 2 * np.log(0.5), rel=1e-5)
+
+
+def test_psnr_and_ssim_basics():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 32, 3))
+    assert metrics.psnr(img, img) == float("inf")
+    assert metrics.ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1)
+    p = metrics.psnr(noisy, img)
+    assert 15 < p < 25
+    s = metrics.ssim(noisy, img)
+    assert 0.2 < s < 0.95
+    # more noise -> strictly worse
+    noisier = np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1)
+    assert metrics.ssim(noisier, img) < s
+    assert metrics.psnr(noisier, img) < p
+
+
+def test_cmap_and_uint8():
+    img = np.linspace(0, 1, 64).reshape(8, 8)
+    u8 = metrics.image_float_to_uint8(img)
+    assert u8.dtype == np.uint8 and u8.min() == 0 and u8.max() == 255
+    cm = metrics.cmap(img)
+    assert cm.shape == (8, 8, 3) and cm.dtype == np.uint8
+
+
+def test_model_checkpoint_roundtrip_and_torch_detection(tmp_path):
+    from pixelnerf_tpu.train import checkpoints
+
+    variables = {
+        "params": {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}},
+        "batch_stats": {"bn": {"mean": np.zeros(3, np.float32)}},
+    }
+    path = str(tmp_path / "pixel_nerf_latest")
+    checkpoints.save_model(path, variables)
+    loaded = checkpoints.load_model(path, target_variables=variables)
+    np.testing.assert_allclose(
+        loaded["params"]["layer"]["kernel"], variables["params"]["layer"]["kernel"]
+    )
+    # overwrite creates a backup copy
+    checkpoints.save_model(path, variables)
+    assert os.path.exists(path + "_backup")
+
+    # a torch-format file at the same path is detected and converted
+    tpath = str(tmp_path / "torch_ckpt")
+    torch.save({"mlp_coarse.lin_out.weight": torch.ones(4, 8)}, tpath)
+    out = checkpoints.load_model(tpath)
+    assert out["params"]["mlp_coarse"]["lin_out"]["kernel"].shape == (8, 4)
+
+
+def test_partial_merge_keeps_uninitialized(tmp_path):
+    from pixelnerf_tpu.train.checkpoints import _merge_variables
+
+    base = {
+        "params": {
+            "a": {"kernel": np.zeros((2, 2), np.float32)},
+            "b": {"kernel": np.ones((3, 3), np.float32)},
+        }
+    }
+    update = {"params": {"a": {"kernel": np.full((2, 2), 7.0, np.float32)}}}
+    merged = _merge_variables(base, update)
+    np.testing.assert_allclose(merged["params"]["a"]["kernel"], 7.0)
+    np.testing.assert_allclose(merged["params"]["b"]["kernel"], 1.0)
+    # shape-mismatched leaves are rejected, base kept
+    bad = {"params": {"b": {"kernel": np.zeros((5, 5), np.float32)}}}
+    merged = _merge_variables(base, bad)
+    np.testing.assert_allclose(merged["params"]["b"]["kernel"], 1.0)
+
+
+def test_lpips_converter_and_forward(tmp_path):
+    """Build a fake torchvision-layout VGG16 state dict + lin heads, convert,
+    and run LPIPS forward; identical inputs must give ~0 distance."""
+    from pixelnerf_tpu.eval import lpips as L
+
+    sd = {}
+    conv_positions = []
+    idx = 0
+    for filters, n_convs in L._VGG_BLOCKS:
+        for _ in range(n_convs):
+            conv_positions.append((idx, filters))
+            idx += 2
+        idx += 1
+    cin = 3
+    g = torch.Generator().manual_seed(0)
+    for pos, filters in conv_positions:
+        sd[f"features.{pos}.weight"] = torch.randn(filters, cin, 3, 3, generator=g) * 0.05
+        sd[f"features.{pos}.bias"] = torch.zeros(filters)
+        cin = filters
+    taps = [64, 128, 256, 512, 512]
+    for i, ch in enumerate(taps):
+        sd[f"lin{i}.model.1.weight"] = torch.rand(1, ch, 1, 1, generator=g)
+    path = str(tmp_path / "lpips_vgg.pth")
+    torch.save(sd, path)
+
+    variables = L.load_torch_lpips(path)
+    model = L.LPIPS()
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    d_same = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(x)))
+    assert d_same.shape == (1,)
+    assert abs(float(d_same)) < 1e-6
+    y = np.clip(x + 0.5, -1, 1).astype(np.float32)
+    d_diff = float(np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(y))))
+    assert d_diff > 1e-4
+
+
+def test_monitor_and_diagnostic(tmp_path, capsys):
+    from pixelnerf_tpu.data import SyntheticDataset
+    from pixelnerf_tpu.train.diagnostic import DiagnosticTool
+    from pixelnerf_tpu.train.monitor import TrainingMonitor
+
+    mon = TrainingMonitor(window_size=5)
+    for i in range(20):
+        mon.update(1.0 / (i + 1), 10 + i * 0.01)
+    stats = mon.get_stats()
+    assert 0 < stats["loss_mean"] < 1
+    mon.print_stats(0, 10, 100)
+    assert mon.check_convergence(patience=5, threshold=1.0)  # tiny improvement
+
+    diag = DiagnosticTool(save_dir=str(tmp_path / "dbg"))
+    ds = SyntheticDataset(n_objs=1, n_views=2, image_size=16)
+    assert diag.check_data_range(ds, num_samples=1)
+
+    from pixelnerf_tpu.models import make_model
+
+    conf = hocon.parse_string(
+        "model { use_encoder = True\n use_xyz = True\n use_viewdirs = False\n"
+        " use_code = False\n"
+        " mlp_coarse { type = resnet\n n_blocks = 2\n d_hidden = 16 }\n"
+        " mlp_fine { type = empty }\n"
+        " encoder { backbone = resnet18\n pretrained = False\n num_layers = 1 } }"
+    )
+    net = make_model(conf["model"])
+    s = ds[0]
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(s["images"][None, :1]),
+        jnp.asarray(s["poses"][None, :1]),
+        jnp.asarray(np.float32(s["focal"])),
+        jnp.zeros((1, 4, 3), jnp.float32),
+        None,
+    )
+    assert diag.check_model_architecture(net, variables)
+    assert diag.check_model_output(net, variables, s)
