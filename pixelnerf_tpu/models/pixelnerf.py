@@ -91,7 +91,16 @@ class PixelNeRFNet(nn.Module):
         self.use_viewdirs = conf.get_bool("use_viewdirs", False)
         self.use_global_encoder = conf.get_bool("use_global_encoder", False)
 
-        self.encoder = SpatialEncoder.from_conf(conf["encoder"], name="encoder")
+        # encoder factory (reference model_util.make_encoder:18-26 + conv)
+        enc_type = conf.get_string("encoder.type", "spatial")
+        if enc_type == "spatial":
+            self.encoder = SpatialEncoder.from_conf(conf["encoder"], name="encoder")
+        elif enc_type == "conv":
+            from .custom_encoder import ConvEncoder
+
+            self.encoder = ConvEncoder.from_conf(conf["encoder"], name="encoder")
+        else:
+            raise NotImplementedError(f"Unsupported encoder type {enc_type!r}")
 
         # fusion (fork feature, models.py:67-95)
         use_smart_fusion = conf.get_bool("use_smart_fusion", False)
@@ -100,7 +109,10 @@ class PixelNeRFNet(nn.Module):
         self.use_adaptive_sampling = (
             conf.get_bool("use_adaptive_sampling", False) and self.is_multi_scale
         )
-        layer_dims = list(self.encoder.latent_sizes)
+        ls = self.encoder.latent_size
+        layer_dims = list(
+            getattr(self.encoder, "latent_sizes", ls if isinstance(ls, list) else [ls])
+        )
         if self.use_smart_fusion:
             self.feature_fusion = SmartFeatureFusion(
                 layer_dims=tuple(layer_dims),

@@ -190,3 +190,58 @@ def test_monitor_and_diagnostic(tmp_path, capsys):
     )
     assert diag.check_model_architecture(net, variables)
     assert diag.check_model_output(net, variables, s)
+
+
+def test_conv_encoder_path():
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.models.pixelnerf import PixelNeRFNet
+
+    conf = hocon.parse_string(
+        "model { use_encoder = True\n use_xyz = True\n use_viewdirs = False\n"
+        " use_code = False\n"
+        " mlp_coarse { type = resnet\n n_blocks = 2\n d_hidden = 16 }\n"
+        " mlp_fine { type = empty }\n"
+        " encoder { type = conv } }"
+    )
+    net = make_model(conf["model"])
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(1, 1, 32, 32, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1)).reshape(1, 1, 4, 4)
+    poses[..., 2, 3] = 1.4
+    xyz = (rng.normal(size=(1, 6, 3)) * 0.3).astype(np.float32)
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(poses),
+        jnp.asarray(np.float32(20.0)), jnp.asarray(xyz), None,
+    )
+    scene = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses),
+        jnp.asarray(np.float32(20.0)), method=PixelNeRFNet.encode,
+    )
+    assert scene.latents.shape == (1, 32, 32, 128)  # full-res, 128ch
+    out = net.apply(variables, scene, jnp.asarray(xyz), method=PixelNeRFNet.query)
+    assert out.shape == (1, 6, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_warping_identity():
+    from pixelnerf_tpu.utils import warping
+
+    rng = np.random.default_rng(0)
+    B, H, W = 1, 16, 16
+    img = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    depth = np.full((B, H, W), 2.0, np.float32)
+    K = np.array([[[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]]], np.float32)
+    identity = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    warped, valid = warping.warp_image(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K), jnp.asarray(identity)
+    )
+    # identity pose: image maps onto itself
+    np.testing.assert_allclose(np.asarray(warped), img, atol=1e-4)
+    assert float(np.asarray(valid).mean()) == pytest.approx(1.0)
+    occl = warping.compute_occlusion_mask(jnp.asarray(depth), jnp.asarray(depth))
+    assert float(np.asarray(occl).mean()) == 1.0
+    err = warping.compute_reprojection_error(
+        jnp.asarray(img), warped, valid
+    )
+    assert float(err) < 1e-4
+    views = warping.sample_random_views(10, 3, rng, exclude=(0, 1))
+    assert len(views) == 3 and all(v >= 2 for v in views)
