@@ -39,7 +39,8 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     conf = hocon.parse_file(os.path.join(here, "conf", "exp", "sn64.conf"))
-    net = make_model(conf["model"])
+    mlp_impl = "pallas" if os.environ.get("BENCH_PALLAS", "0") != "0" else "xla"
+    net = make_model(conf["model"], mlp_impl=mlp_impl)
 
     ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
     sample = ds[0]
@@ -62,11 +63,18 @@ def main():
         method=PixelNeRFNet.encode,
     )
 
+    import jax.numpy as _jnp
+
     # reference renderer defaults: 64 coarse + (16 importance + 16 depth) fine
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], eval_batch_size=1_000_000
     )
-    pipeline = RenderPipeline(net, renderer)
+    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    pipeline = RenderPipeline(
+        net,
+        renderer,
+        compute_dtype=_jnp.bfloat16 if use_bf16 else None,
+    )
 
     # video rays: 16 frames of 64x64 = 65,536 rays per timed pass
     poses = np.stack(

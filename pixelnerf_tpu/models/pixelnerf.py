@@ -57,13 +57,15 @@ class EncodedScene(flax.struct.PyTreeNode):
     num_views_per_obj: int = flax.struct.field(pytree_node=False, default=1)
 
 
-def _make_mlp(conf: ConfigTree, d_in: int, d_latent: int, name: str, allow_empty=False):
+def _make_mlp(
+    conf: ConfigTree, d_in: int, d_latent: int, name: str, allow_empty=False, impl="xla"
+):
     """Factory mirroring reference model_util.make_mlp (model_util.py:5-15)."""
     mlp_type = conf.get_string("type", "mlp")
     if mlp_type == "mlp":
         return ImplicitNet.from_conf(conf, d_in + d_latent, name=name)
     if mlp_type == "resnet":
-        return ResnetFC.from_conf(conf, d_latent=d_latent, name=name)
+        return ResnetFC.from_conf(conf, d_latent=d_latent, name=name, impl=impl)
     if mlp_type == "empty" and allow_empty:
         return None
     raise NotImplementedError("Unsupported MLP type")
@@ -74,6 +76,7 @@ class PixelNeRFNet(nn.Module):
 
     conf_dict: Any  # frozen dict snapshot of the `model` conf subtree
     stop_encoder_grad: bool = False
+    mlp_impl: str = "xla"  # "xla" | "pallas" fused eval kernel (TPU)
 
     @property
     def conf(self) -> ConfigTree:
@@ -158,10 +161,15 @@ class PixelNeRFNet(nn.Module):
         self.d_out = 4
 
         self.mlp_coarse = _make_mlp(
-            conf["mlp_coarse"], d_in, d_latent, name="mlp_coarse"
+            conf["mlp_coarse"], d_in, d_latent, name="mlp_coarse", impl=self.mlp_impl
         )
         self.mlp_fine = _make_mlp(
-            conf["mlp_fine"], d_in, d_latent, name="mlp_fine", allow_empty=True
+            conf["mlp_fine"],
+            d_in,
+            d_latent,
+            name="mlp_fine",
+            allow_empty=True,
+            impl=self.mlp_impl,
         )
 
     # ---------------------------- encode ----------------------------
@@ -332,14 +340,25 @@ class PixelNeRFNet(nn.Module):
         return out_c, out_f
 
 
-def make_model(conf, stop_encoder_grad: bool = False, **kwargs) -> PixelNeRFNet:
+def make_model(
+    conf, stop_encoder_grad: bool = False, mlp_impl: str = "xla", **kwargs
+) -> PixelNeRFNet:
     """Construct the model from the `model` conf subtree
-    (reference model/__init__.py:7-14)."""
+    (reference model/__init__.py:7-14).
+
+    :param mlp_impl: "pallas" selects the fused VMEM-resident ResnetFC eval
+        kernel (bf16 compute, f32 accumulate) for supported configs
+    """
     model_type = conf.get_string("type", "pixelnerf")
     if model_type != "pixelnerf":
         raise NotImplementedError(f"Unsupported model type {model_type!r}")
     frozen = _freeze(conf.as_dict() if isinstance(conf, ConfigTree) else dict(conf))
-    return PixelNeRFNet(conf_dict=frozen, stop_encoder_grad=stop_encoder_grad, **kwargs)
+    return PixelNeRFNet(
+        conf_dict=frozen,
+        stop_encoder_grad=stop_encoder_grad,
+        mlp_impl=mlp_impl,
+        **kwargs,
+    )
 
 
 _DICT_TAG = "__conf_dict__"

@@ -67,6 +67,19 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     use_spade: bool = False
+    impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident eval kernel)
+
+    def _pallas_supported(self, combine_inner_dims) -> bool:
+        from ..ops import resnetfc_pallas as rp
+
+        if self.impl != "pallas" or self.is_initializing():
+            return False
+        if not rp.supports(self.beta, self.use_spade, self.combine_type):
+            return False
+        if len(combine_inner_dims) != 2:
+            return False
+        NS = combine_inner_dims[0]
+        return NS == 1 or self.combine_layer < self.n_blocks
 
     @nn.compact
     def __call__(
@@ -78,6 +91,21 @@ class ResnetFC(nn.Module):
         (reference resnetfc.py:193-197)
         :param combine_inner_dims: static (NS, B) dims for multi-view combination
         """
+        if self._pallas_supported(combine_inner_dims):
+            from ..ops import resnetfc_pallas as rp
+
+            NS, B = combine_inner_dims
+            return rp.resnetfc_pallas(
+                self.variables["params"],
+                zx.reshape(-1, zx.shape[-1]),
+                NS=NS,
+                d_latent=self.d_latent,
+                d_in=zx.shape[-1] - self.d_latent,
+                n_blocks=self.n_blocks,
+                combine_layer=self.combine_layer,
+                d_out=self.d_out,
+            )
+
         act = _activation(self.beta)
         d_latent = self.d_latent
         if d_latent > 0:
