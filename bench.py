@@ -39,7 +39,7 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     conf = hocon.parse_file(os.path.join(here, "conf", "exp", "sn64.conf"))
-    mlp_impl = "pallas" if os.environ.get("BENCH_PALLAS", "0") != "0" else "xla"
+    mlp_impl = "pallas" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)
 
     ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
@@ -69,7 +69,9 @@ def main():
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], eval_batch_size=1_000_000
     )
-    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    # measured on v5e-lite: matmul rate is dtype-independent (~66 TFLOP/s) and
+    # the casts cost ~5%, so f32 is the default here
+    use_bf16 = os.environ.get("BENCH_BF16", "0") != "0"
     pipeline = RenderPipeline(
         net,
         renderer,

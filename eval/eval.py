@@ -79,6 +79,13 @@ def extra_args(parser):
         default=0,
         help="Evaluate at most this many objects (0 = all)",
     )
+    parser.add_argument(
+        "--mlp_impl",
+        type=str,
+        default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
+    )
     return parser
 
 
@@ -126,7 +133,7 @@ def main():
         finish_file = open(finish_path, "a", buffering=1)
         print("Writing images to", output_dir)
 
-    net = make_model(conf["model"])
+    net = make_model(conf["model"], mlp_impl=args.mlp_impl)
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], lindisp=dset.lindisp, eval_batch_size=args.ray_batch_size
     )

@@ -27,6 +27,13 @@ def extra_args(parser):
     parser.add_argument(
         "--coarse", action="store_true", help="Coarse network as fine"
     )
+    parser.add_argument(
+        "--mlp_impl",
+        type=str,
+        default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
+    )
     return parser
 
 
@@ -50,7 +57,7 @@ def main():
     )
     loader = DataLoader(dset, batch_size=args.batch_size, shuffle=False)
 
-    net = make_model(conf["model"])
+    net = make_model(conf["model"], mlp_impl=args.mlp_impl)
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], eval_batch_size=args.ray_batch_size
     )

@@ -53,6 +53,13 @@ def extra_args(parser):
     parser.add_argument(
         "--no_vid", action="store_true", help="Only write image frames"
     )
+    parser.add_argument(
+        "--mlp_impl",
+        type=str,
+        default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
+    )
     return parser
 
 
@@ -73,7 +80,7 @@ def main():
     )
     args.resume = True
 
-    net = make_model(conf["model"])
+    net = make_model(conf["model"], mlp_impl=args.mlp_impl)
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], eval_batch_size=args.ray_batch_size
     )

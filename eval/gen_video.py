@@ -57,6 +57,13 @@ def extra_args(parser):
         help="Distance of camera from origin, default is average of z_far, z_near",
     )
     parser.add_argument("--fps", type=int, default=30, help="FPS of video")
+    parser.add_argument(
+        "--mlp_impl",
+        type=str,
+        default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
+    )
     return parser
 
 
@@ -98,7 +105,7 @@ def main():
             )
         H, W = Ht, Wt
 
-    net = make_model(conf["model"])
+    net = make_model(conf["model"], mlp_impl=args.mlp_impl)
 
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], lindisp=dset.lindisp, eval_batch_size=args.ray_batch_size

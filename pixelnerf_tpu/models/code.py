@@ -31,8 +31,18 @@ class PositionalEncoding:
             d += self.d_in
         return d
 
+    @staticmethod
+    def _scoped(fn):
+        import jax
+
+        return jax.named_scope("positional_enc")(fn)
+
     def __call__(self, x: Array) -> Array:
-        """:param x: (..., d_in) -> (..., d_out)"""
+        """:param x: (..., d_in) -> (..., d_out); traced under the
+        "positional_enc" scope (reference code.py:40 cut point)"""
+        return self._scoped(self._encode)(x)
+
+    def _encode(self, x: Array) -> Array:
         if self.num_freqs == 0:
             return x if self.include_input else x[..., :0]
         freqs = self.freq_factor * (

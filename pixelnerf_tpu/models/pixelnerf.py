@@ -195,11 +195,15 @@ class PixelNeRFNet(nn.Module):
             num_views_per_obj = 1
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
 
-        latents = self.encoder(images, train=train)
+        # trace annotations mirror the reference's profiler cut points
+        # (models.py:193,198 record_function tags; SURVEY §5.1)
+        with jax.named_scope("encoder_forward"):
+            latents = self.encoder(images, train=train)
         if self.is_multi_scale and self.use_adaptive_sampling:
             latents = self.adaptive_sampler(latents)
         if self.use_smart_fusion:
-            latents = self.feature_fusion(latents, train=train)
+            with jax.named_scope("feature_fusion"):
+                latents = self.feature_fusion(latents, train=train)
         if isinstance(latents, list):
             latents = tuple(latents)
 
@@ -262,6 +266,7 @@ class PixelNeRFNet(nn.Module):
         :param viewdirs: (SB, B, 3) if use_viewdirs
         :return: (SB, B, 4) with rgb in [0,1] (sigmoid) and sigma >= 0 (relu)
         """
+        # "model_inference" cut point (backup2:165)
         SB, B, _ = xyz.shape
         NS = scene.num_views_per_obj
         poses = scene.poses  # (SB*NS, 3, 4)
@@ -298,7 +303,8 @@ class PixelNeRFNet(nn.Module):
             latents = scene.latents
             if isinstance(latents, tuple):
                 latents = list(latents)
-            latent = self.encoder.index(latents, uv, scene.image_shape)
+            with jax.named_scope("encoder_index"):
+                latent = self.encoder.index(latents, uv, scene.image_shape)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
             if self.d_in == 0:
@@ -313,7 +319,8 @@ class PixelNeRFNet(nn.Module):
 
         flat = mlp_input.reshape(-1, mlp_input.shape[-1])  # (SB*NS*B, D)
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        out = mlp(flat, combine_inner_dims=(NS, B))
+        with jax.named_scope("mlp_forward"):
+            out = mlp(flat, combine_inner_dims=(NS, B))
         out = out.reshape(SB, B, self.d_out)
 
         rgb = nn.sigmoid(out[..., :3])

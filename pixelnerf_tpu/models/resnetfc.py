@@ -67,12 +67,20 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     use_spade: bool = False
-    impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident eval kernel)
+    # "xla" | "pallas" (fused VMEM-resident eval kernel) | "auto" (pallas on TPU)
+    impl: str = "xla"
 
     def _pallas_supported(self, combine_inner_dims) -> bool:
+        import jax
+
         from ..ops import resnetfc_pallas as rp
 
-        if self.impl != "pallas" or self.is_initializing():
+        if self.is_initializing():
+            return False
+        if self.impl == "auto":
+            if jax.default_backend() != "tpu":
+                return False
+        elif self.impl != "pallas":
             return False
         if not rp.supports(self.beta, self.use_spade, self.combine_type):
             return False

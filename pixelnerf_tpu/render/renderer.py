@@ -111,6 +111,7 @@ def _eval_model_chunked(
     return out[:, :P]
 
 
+@jax.named_scope("renderer_composite")  # nerf.py:175 cut point
 def composite(
     model_fn: ModelFn,
     rays: Array,  # (SB, B, 8)
@@ -166,6 +167,7 @@ def composite(
     return weights, rgb_final, depth_final
 
 
+@jax.named_scope("renderer_forward")  # nerf.py:264 cut point
 def render_rays(
     model_fn: ModelFn,
     rays: Array,  # (SB, B, 8)

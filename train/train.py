@@ -46,6 +46,12 @@ def extra_args(parser):
     parser.add_argument("--no_amp", action="store_true", default=None)
     parser.add_argument("--check_gradients", action="store_true", default=None)
     parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument(
+        "--debug_nans",
+        action="store_true",
+        default=None,
+        help="Enable jax NaN debugging (numerical sanitizer; SURVEY §5.2)",
+    )
     return parser
 
 
@@ -65,6 +71,10 @@ def main():
     args, conf = parse_args(
         extra_args, training=True, default_ray_batch_size=128
     )
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        print("NaN debugging enabled")
 
     # conf-vs-CLI AMP precedence (reference train.py:92-101)
     use_amp = conf.get_bool("train.use_amp", True)
@@ -148,16 +158,28 @@ def main():
                 rays,
                 jax.random.PRNGKey(int(self.global_step)),
                 ray_batch_size=args.ray_batch_size * 16,
+                want_weights=True,
             )
-            branch = out["fine"] if self.renderer.using_fine else out["coarse"]
-            rgb = np.clip(branch["rgb"].reshape(H, W, 3), 0, 1)
-            depth = branch["depth"].reshape(H, W)
             gt = images[target] * 0.5 + 0.5
             src_vis = images[src_view[0]] * 0.5 + 0.5
-            vis_psnr = metrics.psnr(rgb, gt)
-            depth_vis = metrics.cmap(depth).astype(np.float32) / 255.0
-            coarse_rgb = np.clip(out["coarse"]["rgb"].reshape(H, W, 3), 0, 1)
-            grid = np.hstack([src_vis, gt, depth_vis, coarse_rgb, rgb])
+
+            # one row per head: src | gt | depth | rgb | alpha
+            # (reference vis layout, train.py:497-527)
+            def row(branch):
+                rgb = np.clip(branch["rgb"].reshape(H, W, 3), 0, 1)
+                depth_vis = (
+                    metrics.cmap(branch["depth"].reshape(H, W)).astype(np.float32)
+                    / 255.0
+                )
+                alpha = branch["weights"].reshape(H, W, -1).sum(-1)
+                alpha_vis = metrics.cmap(alpha).astype(np.float32) / 255.0
+                return np.hstack([src_vis, gt, depth_vis, rgb, alpha_vis]), rgb
+
+            rows = [row(out["coarse"])]
+            if "fine" in out:
+                rows.append(row(out["fine"]))
+            grid = np.vstack([r[0] for r in rows])
+            vis_psnr = metrics.psnr(rows[-1][1], gt)
             return (grid * 255).astype(np.uint8), vis_psnr
 
     trainer = PixelNeRFTrainer()
