@@ -428,7 +428,12 @@ class Trainer:
         wd = tc("weight_decay", 0.0)
         if wd > 0:
             txs.insert(-1, optax.add_decayed_weights(wd))
-        self.optimizer = optax.chain(*txs)
+        optimizer = optax.chain(*txs)
+        if self.accu_grad > 1:
+            # gradient accumulation (conf train.accu_grad, reference
+            # default.conf:87-89): update applied every accu_grad steps
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.accu_grad)
+        self.optimizer = optimizer
 
         self.state = TrainState(
             params=init_variables["params"],

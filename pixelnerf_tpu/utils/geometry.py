@@ -13,7 +13,7 @@ Everything here is stateless: no classes, no buffers.  All functions accept and 
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +69,7 @@ def gen_rays(
     z_near: float,
     z_far: float,
     c=None,
+    ndc: bool = False,
 ) -> Array:
     """Generate camera rays for each pixel of each view.
 
@@ -89,9 +90,93 @@ def gen_rays(
     cam_centers = jnp.broadcast_to(
         poses[:, None, None, :3, 3], (num_images, height, width, 3)
     )
+    if ndc:
+        # forward-facing NDC parameterization (reference util.py:255-264)
+        if not (z_near == 0 and z_far == 1):
+            import warnings
+
+            warnings.warn(
+                "dataset z near and z_far not compatible with NDC, "
+                "setting them to 0, 1 NOW"
+            )
+        z_near, z_far = 0.0, 1.0
+        cam_centers, cam_raydir = ndc_rays(
+            width, height, focal, 1.0, cam_centers, cam_raydir
+        )
     nears = jnp.full((num_images, height, width, 1), z_near, dtype=jnp.float32)
     fars = jnp.full((num_images, height, width, 1), z_far, dtype=jnp.float32)
     return jnp.concatenate([cam_centers, cam_raydir, nears, fars], axis=-1)
+
+
+def ndc_rays(
+    width: int,
+    height: int,
+    focal,
+    near: float,
+    rays_o: Array,
+    rays_d: Array,
+) -> Tuple[Array, Array]:
+    """Shift ray origins to the near plane and map to NDC space (the standard
+    NeRF forward-facing transform; reference util.gen_rays ndc branch,
+    util.py:258-264)."""
+    f = jnp.squeeze(_as_f32(focal))
+    fx = f if f.ndim == 0 else f.reshape(-1)[0]
+    fy = f if f.ndim == 0 else f.reshape(-1)[-1]
+    # shift o to the near plane
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    o0 = -1.0 / (width / (2.0 * fx)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = -1.0 / (height / (2.0 * fy)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = (
+        -1.0
+        / (width / (2.0 * fx))
+        * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    )
+    d1 = (
+        -1.0
+        / (height / (2.0 * fy))
+        * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    )
+    d2 = -2.0 * near / rays_o[..., 2]
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def batched_index_select_nd(t: Array, inds: Array) -> Array:
+    """Index dim 1 of a batched array: t (B, n, ...), inds (B, k) -> (B, k, ...)
+    (reference util.py:33-42; used for source-view selection, train.py:315-318)."""
+    return jnp.take_along_axis(
+        t, inds.reshape(inds.shape + (1,) * (t.ndim - 2)), axis=1
+    )
+
+
+def batched_index_select_nd_last(t: Array, inds: Array) -> Array:
+    """Index the last dim: t (..., n, m), inds (..., k) -> (..., n, k)
+    (reference util.py:45-55)."""
+    dummy = jnp.broadcast_to(
+        inds[..., None, :], t.shape[:-1] + (inds.shape[-1],)
+    )
+    return jnp.take_along_axis(t, dummy, axis=-1)
+
+
+def masked_sample_np(
+    masks: np.ndarray,
+    num_pix: int,
+    prop_inside: float,
+    rng: np.random.Generator,
+    thresh: float = 0.5,
+) -> np.ndarray:
+    """Sample pixel indices with a target in/out-of-mask proportion
+    (reference util.py:210-224).  masks (NV, H, W[, 1]) -> (num_pix, 3) [view,y,x]."""
+    m = masks[..., 0] if masks.ndim == 4 else masks
+    num_inside = int(num_pix * prop_inside + 0.5)
+    num_outside = num_pix - num_inside
+    inside = np.argwhere(m >= thresh)
+    outside = np.argwhere(m < thresh)
+    pix_inside = inside[rng.integers(0, len(inside), num_inside)]
+    pix_outside = outside[rng.integers(0, len(outside), num_outside)]
+    return np.concatenate([pix_inside, pix_outside], axis=0)
 
 
 def gen_rays_np(

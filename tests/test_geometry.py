@@ -155,3 +155,41 @@ def test_coord_blender_inverse():
     a = geometry.coord_from_blender()
     b = geometry.coord_to_blender()
     np.testing.assert_allclose(a @ b, np.eye(4), atol=1e-7)
+
+
+def test_ndc_rays_and_index_select():
+    import jax.numpy as jnp
+
+    # forward-facing camera at origin looking down -z
+    poses = np.eye(4, dtype=np.float32)[None]
+    rays = np.asarray(
+        geometry.gen_rays(poses, 8, 8, 10.0, 0.0, 1.0, ndc=True)
+    )
+    assert np.isfinite(rays).all()
+    np.testing.assert_allclose(rays[..., 6], 0.0)
+    np.testing.assert_allclose(rays[..., 7], 1.0)
+    # NDC origins lie on the z=-1 plane mapped to o2 = 1 + 2*near/oz = -1
+    np.testing.assert_allclose(rays[..., 2], -1.0, atol=1e-5)
+
+    t = np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+    inds = np.array([[1, 3], [0, 2]])
+    out = np.asarray(geometry.batched_index_select_nd(jnp.asarray(t), jnp.asarray(inds)))
+    np.testing.assert_allclose(out[0], t[0, [1, 3]])
+    np.testing.assert_allclose(out[1], t[1, [0, 2]])
+
+    t2 = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+    inds2 = np.array([[2, 0]])
+    out2 = np.asarray(
+        geometry.batched_index_select_nd_last(jnp.asarray(t2), jnp.asarray(inds2))
+    )
+    np.testing.assert_allclose(out2[0], t2[0][:, [2, 0]])
+
+
+def test_masked_sample_np():
+    rng = np.random.default_rng(0)
+    masks = np.zeros((2, 8, 8, 1), np.float32)
+    masks[:, 2:6, 2:6] = 1.0
+    pix = geometry.masked_sample_np(masks, 100, 0.7, rng)
+    assert pix.shape == (100, 3)
+    inside = masks[pix[:, 0], pix[:, 1], pix[:, 2], 0] > 0.5
+    assert inside[:70].all() and not inside[70:].any()
