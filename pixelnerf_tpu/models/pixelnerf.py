@@ -298,7 +298,16 @@ class PixelNeRFNet(nn.Module):
             mlp_input = z_feature
 
         if self.use_encoder:
-            uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]  # (SB*NS, B, 2)
+            # uv = -xy/z * focal + c (backup2:215-221); the divisor is clamped
+            # away from 0 (sign-preserving) so samples crossing a source
+            # camera's z=0 plane can't emit inf/NaN forward or 0*inf backward
+            z_cam = xyz_cam[..., 2:3]
+            denom = jnp.where(
+                jnp.abs(z_cam) < 1e-8,
+                jnp.where(z_cam >= 0, 1e-8, -1e-8),
+                z_cam,
+            )
+            uv = -xyz_cam[..., :2] / denom  # (SB*NS, B, 2)
             uv = uv * scene.focal[:, None] + scene.c[:, None]
             latents = scene.latents
             if isinstance(latents, tuple):

@@ -54,9 +54,19 @@ def grid_sample(
     x = _unnormalize(uv[..., 0].astype(jnp.float32), W, align_corners)
     y = _unnormalize(uv[..., 1].astype(jnp.float32), H, align_corners)
 
+    # Sanitize non-finite coordinates (points projected from near a source
+    # camera's z=0 plane give uv -> inf, and inf - floor(inf) = NaN).
+    x = jnp.nan_to_num(x, nan=-2.0, posinf=1e7, neginf=-1e7)
+    y = jnp.nan_to_num(y, nan=-2.0, posinf=1e7, neginf=-1e7)
+
     if padding_mode == "reflection":
         x = _reflect(x, 0.0, float(W - 1))
         y = _reflect(y, 0.0, float(H - 1))
+    else:
+        # clamp just outside the valid range: preserves border-clamp and
+        # zeros-mask semantics, keeps floor()/wx exact for huge coords
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
 
     flat = feat.reshape(B, H * W, C)
 

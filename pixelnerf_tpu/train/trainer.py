@@ -141,6 +141,9 @@ def make_step_fns(
 ):
     """Build jitted (train_step, eval_step).  ``amp=True`` keeps TPU-default
     bf16 matmuls (the AMP equivalent); False forces fp32 everywhere."""
+    # training/eval batches are small (ray_batch_size rays); inner point
+    # chunking (sized for huge eval renders) would only serialize the MXU
+    render_cfg = dataclasses.replace(render_cfg, eval_batch_size=0)
     precision_ctx = (
         (lambda: jax.default_matmul_precision("highest"))
         if not amp
