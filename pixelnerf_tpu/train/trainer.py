@@ -351,7 +351,12 @@ class Trainer:
         args,
         conf,  # full conf tree
         device_rng: Optional[Array] = None,
+        mesh=None,
     ):
+        """:param mesh: optional jax.sharding.Mesh with ("data", "rays") axes —
+        shards the object superbatch over "data" and the per-object ray batch
+        over "rays"; params/optimizer replicated (XLA inserts the psum grad
+        all-reduce).  None = single device."""
         self.net = net
         self.renderer = renderer
         self.args = args
@@ -461,6 +466,7 @@ class Trainer:
 
             crit_c = crit_f = l2_loss
 
+        self.mesh = mesh
         self.use_viewdirs = net.conf.get_bool("use_viewdirs", False)
         self._crit_c, self._crit_f = crit_c, crit_f
         self._train_step, self._eval_step = make_step_fns(
@@ -474,6 +480,10 @@ class Trainer:
             self.use_viewdirs,
             amp=self.use_amp,
         )
+        if mesh is not None:
+            self._train_step, self._eval_step = self._shard_steps(
+                self._train_step, self._eval_step
+            )
         self._step_cfg = renderer.cfg
 
         # --- bookkeeping ---
@@ -554,6 +564,43 @@ class Trainer:
         return True
 
     # -------------------- steps --------------------
+    def _batch_shardings(self, batch: dict) -> dict:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        ray_sh = NamedSharding(self.mesh, P("data", "rays"))
+        out = {
+            "src_images": data_sh,
+            "src_poses": data_sh,
+            "focal": data_sh,
+            "rays": ray_sh,
+            "rgb_gt": ray_sh,
+        }
+        if "c" in batch:
+            out["c"] = data_sh
+        return out
+
+    def _shard_steps(self, train_step, eval_step):
+        """Re-jit the step functions with explicit mesh shardings."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        def sharded_train(state, batch, rng):
+            sh = self._batch_shardings(batch)
+            batch = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+            state = jax.device_put(state, repl)
+            with self.mesh:
+                return train_step(state, batch, rng)
+
+        def sharded_eval(state, batch, rng):
+            sh = self._batch_shardings(batch)
+            batch = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+            with self.mesh:
+                return eval_step(jax.device_put(state, repl), batch, rng)
+
+        return sharded_train, sharded_eval
+
     def _maybe_rebuild_step(self):
         """Renderer schedule changed -> rebuild the jitted step for the new
         static sample counts."""
@@ -569,6 +616,10 @@ class Trainer:
                 self.use_viewdirs,
                 amp=self.use_amp,
             )
+            if self.mesh is not None:
+                self._train_step, self._eval_step = self._shard_steps(
+                    self._train_step, self._eval_step
+                )
             self._step_cfg = self.renderer.cfg
 
     def _prep(self, data, is_train: bool = True) -> Optional[dict]:

@@ -192,3 +192,27 @@ def test_render_pipeline_multidevice_matches_single():
         out1["coarse"]["depth"], out8["coarse"]["depth"], atol=2e-5
     )
     assert out1["coarse"]["rgb"].shape == (rays.shape[0], 3)
+
+
+def test_trainer_mesh_sharded_step(tmp_path):
+    """Trainer with a ("data","rays") mesh runs sharded steps that match the
+    single-device trainer numerically."""
+    from pixelnerf_tpu.parallel import make_train_mesh
+
+    conf, net, ds, renderer, variables, args, tr1 = _build(tmp_path / "a")
+    mesh = make_train_mesh(8, data_parallel=2)  # (2, 4)
+    conf2 = hocon.parse_string(TINY_CONF)
+    args2 = _Args(str(tmp_path / "b"))
+    tr2 = Trainer(net, variables, ds, ds, renderer, args2, conf2, mesh=mesh)
+    data = collate([ds[0], ds[1]])
+
+    # identical rng + identical batch -> identical loss on both trainers
+    tr1.rng = np.random.default_rng(5)
+    tr2.rng = np.random.default_rng(5)
+    tr1.jrng = jax.random.PRNGKey(11)
+    tr2.jrng = jax.random.PRNGKey(11)
+    ld1 = tr1.train_step(data)
+    ld2 = tr2.train_step(data)
+    assert ld2 is not None and np.isfinite(ld2["t"])
+    np.testing.assert_allclose(ld1["t"], ld2["t"], rtol=2e-3)
+    np.testing.assert_allclose(ld1["grad_norm"], ld2["grad_norm"], rtol=2e-3)
