@@ -87,7 +87,18 @@ class ImplicitNet(nn.Module):
         return kernel_init, nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x: Array, combine_inner_dims: Sequence[int] = (1,)) -> Array:
+    def __call__(
+        self,
+        x,
+        combine_inner_dims: Sequence[int] = (1,),
+        planar_out: bool = False,
+    ) -> Array:
+        if isinstance(x, tuple):  # (z, x) parts — see ResnetFC.__call__
+            z_p, x_p = x
+            if z_p is not None:
+                x = jnp.concatenate([z_p.astype(x_p.dtype), x_p], axis=-1)
+            else:
+                x = x_p
         dims = self._layer_dims()
         num_layers = len(dims)
         if self.beta > 0:
@@ -119,6 +130,8 @@ class ImplicitNet(nn.Module):
             )(x)
             if layer < num_layers - 2:
                 x = act(x)
+        if planar_out:
+            x = jnp.swapaxes(x, -1, -2)
         return x
 
     @classmethod

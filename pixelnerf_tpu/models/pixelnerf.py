@@ -259,12 +259,16 @@ class PixelNeRFNet(nn.Module):
         xyz: Array,
         viewdirs: Optional[Array] = None,
         coarse: bool = True,
+        planar_out: bool = False,
     ) -> Array:
         """Predict (r, g, b, sigma) at world points.
 
         :param xyz: (SB, B, 3) world-space points
         :param viewdirs: (SB, B, 3) if use_viewdirs
-        :return: (SB, B, 4) with rgb in [0,1] (sigmoid) and sigma >= 0 (relu)
+        :param planar_out: return channel-major (SB, 4, B) — the renderer's
+            native layout (each channel a contiguous plane; see ResnetFC)
+        :return: (SB, B, 4) with rgb in [0,1] (sigmoid) and sigma >= 0 (relu);
+            (SB, 4, B) when ``planar_out``
         """
         # "model_inference" cut point (backup2:165)
         SB, B, _ = xyz.shape
@@ -297,6 +301,7 @@ class PixelNeRFNet(nn.Module):
                 z_feature = self.code(z_feature)
             mlp_input = z_feature
 
+        latent = None
         if self.use_encoder:
             # uv = -xy/z * focal + c (backup2:215-221); the divisor is clamped
             # away from 0 (sign-preserving) so samples crossing a source
@@ -316,22 +321,39 @@ class PixelNeRFNet(nn.Module):
                 latent = self.encoder.index(latents, uv, scene.image_shape)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
-            if self.d_in == 0:
-                mlp_input = latent
-            else:
-                mlp_input = jnp.concatenate([latent, mlp_input], axis=-1)
 
         if self.use_global_encoder:
             g = scene.global_latent[:, None]  # (SB*NS, 1, C_g)
             g = jnp.broadcast_to(g, (g.shape[0], B, g.shape[-1]))
-            mlp_input = jnp.concatenate([g, mlp_input], axis=-1)
+            latent = (
+                g if latent is None
+                else jnp.concatenate([g.astype(latent.dtype), latent], axis=-1)
+            )
 
-        flat = mlp_input.reshape(-1, mlp_input.shape[-1])  # (SB*NS*B, D)
+        # The (latent, coordinate-code) pair is passed UNconcatenated — the MLP
+        # decides whether to fuse them (XLA path) or stream them separately into
+        # the Pallas kernel (the latent may be bf16 straight from the gather).
+        if mlp_input is None:
+            mlp_input = latent[..., :0]  # d_in == 0: zero-width code
+        flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
+        flat_z = latent.reshape(-1, latent.shape[-1]) if latent is not None else None
+        arg = (flat_z, flat_x) if flat_z is not None else flat_x
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("mlp_forward"):
-            out = mlp(flat, combine_inner_dims=(NS, B))
-        out = out.reshape(SB, B, self.d_out)
+            out = mlp(arg, combine_inner_dims=(NS, B), planar_out=planar_out)
 
+        if planar_out:
+            # (1, d_out, SB*B) -> (SB, d_out, B); free when SB == 1
+            out = out.reshape(self.d_out, SB, B)
+            if SB > 1:
+                out = jnp.swapaxes(out, 0, 1)
+            else:
+                out = out.reshape(SB, self.d_out, B)
+            rgb = nn.sigmoid(out[:, :3])
+            sigma = nn.relu(out[:, 3:4])
+            return jnp.concatenate([rgb, sigma], axis=1)
+
+        out = out.reshape(SB, B, self.d_out)
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)

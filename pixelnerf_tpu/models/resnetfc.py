@@ -92,31 +92,55 @@ class ResnetFC(nn.Module):
     @nn.compact
     def __call__(
         self,
-        zx: Array,
+        zx,
         combine_inner_dims: Sequence[int] = (1,),
+        planar_out: bool = False,
     ) -> Array:
         """:param zx: (..., d_latent + d_in); latent first, coordinate code second
-        (reference resnetfc.py:193-197)
+        (reference resnetfc.py:193-197).  May also be a tuple ``(z, x)`` of the
+        latent and coordinate code kept separate — the Pallas path then consumes
+        them without ever materializing the concatenation (z may be bf16
+        straight from the feature gather).
         :param combine_inner_dims: static (NS, B) dims for multi-view combination
+        :param planar_out: return channel-major (..., d_out, N) — native layout
+            of the Pallas kernel; downstream compositing reads channels as
+            contiguous rows instead of column-slicing (a ~70 ms/M-point relayout)
         """
+        parts = zx if isinstance(zx, tuple) else None
         if self._pallas_supported(combine_inner_dims):
             from ..ops import resnetfc_pallas as rp
 
             NS, B = combine_inner_dims
+            if parts is not None:
+                z_p, x_p = parts
+                arg = (
+                    z_p.reshape(-1, z_p.shape[-1]) if z_p is not None else None,
+                    x_p.reshape(-1, x_p.shape[-1]),
+                )
+                d_in = x_p.shape[-1]
+            else:
+                arg = zx.reshape(-1, zx.shape[-1])
+                d_in = zx.shape[-1] - self.d_latent
             return rp.resnetfc_pallas(
                 self.variables["params"],
-                zx.reshape(-1, zx.shape[-1]),
+                arg,
                 NS=NS,
                 d_latent=self.d_latent,
-                d_in=zx.shape[-1] - self.d_latent,
+                d_in=d_in,
                 n_blocks=self.n_blocks,
                 combine_layer=self.combine_layer,
                 d_out=self.d_out,
+                planar_out=planar_out,
             )
 
         act = _activation(self.beta)
         d_latent = self.d_latent
-        if d_latent > 0:
+        if parts is not None:
+            z, x = parts
+            if z is not None and z.dtype != x.dtype:
+                z = z.astype(x.dtype)
+            assert (z.shape[-1] if z is not None else 0) == d_latent
+        elif d_latent > 0:
             z = zx[..., :d_latent]
             x = zx[..., d_latent:]
         else:
@@ -128,7 +152,7 @@ class ResnetFC(nn.Module):
                 self.d_hidden, kernel_init=kaiming_fan_in, name="lin_in"
             )(x)
         else:
-            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=zx.dtype)
+            x = jnp.zeros(x.shape[:-1] + (self.d_hidden,), dtype=x.dtype)
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
@@ -155,6 +179,8 @@ class ResnetFC(nn.Module):
         out = nn.Dense(
             self.d_out, kernel_init=kaiming_fan_in, name="lin_out"
         )(act(x))
+        if planar_out:
+            out = jnp.swapaxes(out, -1, -2)
         return out
 
     @classmethod

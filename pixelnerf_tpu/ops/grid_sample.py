@@ -126,9 +126,12 @@ def grid_sample(
 
     wx = wx[..., None]
     wy = wy[..., None]
+    # lerp arithmetic promotes to f32 (weights are f32); the result is cast back
+    # to the feature dtype so a bf16 feature table yields a bf16 sample stream
+    # (half the HBM write traffic) — XLA fuses gather+lerp+cast into one loop.
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    return (top * (1 - wy) + bot * wy).astype(feat.dtype)
 
 
 def resize_bilinear(feat: Array, out_h: int, out_w: int) -> Array:

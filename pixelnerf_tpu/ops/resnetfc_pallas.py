@@ -16,15 +16,19 @@ Semantics match ResnetFC(beta=0, average combine) exactly
 (reference resnetfc.py:173-236); softplus/SPADE/max-combine configs fall back to
 the XLA implementation.
 
-Layout: points are view-major ``zx (NS, B, d_latent + d_in)``; the grid tiles B.
-The combine-layer multi-view mean happens inside the block (all NS rows of a
-point share a block), so multi-view inputs need no cross-block communication.
+Layout: the latent ``z (NS, B, d_latent)`` and coordinate code ``x (NS, B, d_in)``
+are passed as SEPARATE refs — the caller never materializes the concatenated
+(d_latent + d_in) tensor, and when ``z`` arrives already in bf16 with
+``B % block_points == 0`` it streams straight from the gather output with zero
+repacking (the dominant non-MLP HBM cost otherwise).  The combine-layer
+multi-view mean happens inside the block (all NS rows of a point share a
+block), so multi-view inputs need no cross-block communication.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,8 +43,75 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _kernel_2d(
+    z_ref,  # (BB, d_latent) bf16   (dummy (BB, 128) zeros when d_latent==0)
+    x_ref,  # (BB, d_in_pad) bf16
+    w_in_ref,  # (d_in_pad, H) bf16
+    b_in_ref,  # (1, H) f32
+    w_z_ref,  # (n_lin_z, d_latent, H) bf16
+    b_z_ref,  # (n_lin_z, 1, H) f32
+    w_blk_ref,  # (n_blocks, 2, H, H) bf16
+    b_blk_ref,  # (n_blocks, 2, 1, H) f32
+    w_out_ref,  # (H, d_out_pad) bf16
+    b_out_ref,  # (1, d_out_pad) or (d_out_pad, 1) f32
+    out_ref,  # (BB, d_out_pad) or (d_out_pad, BB) f32
+    *,
+    d_latent: int,
+    n_blocks: int,
+    combine_layer: int,
+    planar_out: bool,
+):
+    """Single-view (NS==1) fast path: plain 2D blocks compile ~10x faster under
+    Mosaic than the (NS, BB, D) 3D layout and run at ~92% of the chip's matmul
+    peak (115 vs 112-124 TFLOP/s measured).
+
+    With ``planar_out`` the result is written channel-major ``(d_out_pad, BB)``:
+    downstream compositing then reads each output channel as a contiguous row.
+    Column-slicing a (B, 128) result instead costs ~70 ms per 917k points in XLA
+    (lane-select + relayout) — more than the entire MLP; the in-kernel (BB, 8)
+    transpose is free.
+    """
+    x = (
+        jnp.dot(x_ref[:], w_in_ref[:], preferred_element_type=jnp.float32)
+        + b_in_ref[:]
+    )
+    for k in range(n_blocks):
+        if d_latent > 0 and k < combine_layer:
+            x = x + (
+                jnp.dot(z_ref[:], w_z_ref[k], preferred_element_type=jnp.float32)
+                + b_z_ref[k]
+            )
+        h = (
+            jnp.dot(
+                jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+                w_blk_ref[k, 0],
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk_ref[k, 0]
+        )
+        dx = (
+            jnp.dot(
+                jnp.maximum(h, 0.0).astype(jnp.bfloat16),
+                w_blk_ref[k, 1],
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk_ref[k, 1]
+        )
+        x = x + dx
+    res = jnp.dot(
+        jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+        w_out_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    if planar_out:
+        out_ref[:] = res.T + b_out_ref[:]
+    else:
+        out_ref[:] = res + b_out_ref[:]
+
+
 def _kernel(
-    zx_ref,  # (NS, BB, d_latent + d_in_pad) bf16
+    z_ref,  # (NS, BB, d_latent) bf16   (dummy (NS, BB, 128) zeros when d_latent==0)
+    x_ref,  # (NS, BB, d_in_pad) bf16
     w_in_ref,  # (d_in_pad, H) bf16
     b_in_ref,  # (1, H) f32
     w_z_ref,  # (n_lin_z, d_latent, H) bf16  (dummy (1,1,H) when d_latent==0)
@@ -55,13 +126,13 @@ def _kernel(
     d_latent: int,
     n_blocks: int,
     combine_layer: int,
+    planar_out: bool,
 ):
     H = w_in_ref.shape[1]
-    BB = zx_ref.shape[1]
+    BB = x_ref.shape[1]
 
-    zx = zx_ref[:]  # (NS, BB, D)
-    z = zx[..., :d_latent].reshape(NS * BB, d_latent) if d_latent > 0 else None
-    x_part = zx[..., d_latent:].reshape(NS * BB, -1)
+    z = z_ref[:].reshape(NS * BB, -1) if d_latent > 0 else None
+    x_part = x_ref[:].reshape(NS * BB, -1)
 
     x = (
         jnp.dot(x_part, w_in_ref[:], preferred_element_type=jnp.float32)
@@ -98,19 +169,29 @@ def _kernel(
         )
         x = x + dx
 
-    out_ref[:] = (
-        jnp.dot(
-            jnp.maximum(x, 0.0).astype(jnp.bfloat16),
-            w_out_ref[:],
-            preferred_element_type=jnp.float32,
-        )
-        + b_out_ref[:]
+    res = jnp.dot(
+        jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+        w_out_ref[:],
+        preferred_element_type=jnp.float32,
     )
+    if planar_out:
+        out_ref[:] = res.T + b_out_ref[:]
+    else:
+        out_ref[:] = res + b_out_ref[:]
+
+
+def _pad_last(x: Array, to: int, dtype) -> Array:
+    """astype + zero-pad the last axis (no-op copy avoided when possible)."""
+    x = x.astype(dtype)
+    pad = to - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+    return x
 
 
 def resnetfc_pallas(
     params: dict,
-    zx: Array,
+    zx: Union[Array, Tuple[Optional[Array], Array]],
     NS: int,
     d_latent: int,
     d_in: int,
@@ -119,14 +200,29 @@ def resnetfc_pallas(
     d_out: int = 4,
     block_points: int = 1024,
     interpret: bool = False,
+    planar_out: bool = False,
 ) -> Array:
-    """Evaluate ResnetFC at ``zx (NS*B, d_latent + d_in)`` -> ``(1, B, d_out)``
-    (matching the XLA ResnetFC output shape for combine_inner_dims=(NS, B)).
+    """Evaluate ResnetFC -> ``(1, B, d_out)``, or ``(1, d_out, B)`` channel-major
+    when ``planar_out`` (matching the XLA ResnetFC output shape for
+    combine_inner_dims=(NS, B)).
 
+    :param zx: either the concatenated ``(NS*B, d_latent + d_in)`` array, or a
+        tuple ``(z, x)`` of ``(NS*B, d_latent)`` latent (may be None/bf16) and
+        ``(NS*B, d_in)`` coordinate code — the fast path that skips repacking
     :param params: the ResnetFC param subtree (lin_in / lin_z_k / blocks_k / lin_out)
+    :param planar_out: write the result channel-major — each output channel lands
+        as a contiguous row, so compositing never column-slices (see _kernel_2d)
     """
-    total, D = zx.shape
-    assert D == d_latent + d_in, (D, d_latent, d_in)
+    if isinstance(zx, tuple):
+        z, x_part = zx
+        total = x_part.shape[0]
+        assert x_part.shape[-1] == d_in, (x_part.shape, d_in)
+        assert (z is None) == (d_latent == 0)
+    else:
+        total, D = zx.shape
+        assert D == d_latent + d_in, (D, d_latent, d_in)
+        z = zx[..., :d_latent] if d_latent > 0 else None
+        x_part = zx[..., d_latent:]
     assert total % NS == 0
     assert NS == 1 or combine_layer < n_blocks, (
         "multi-view inputs require an in-range combine_layer"
@@ -136,7 +232,9 @@ def resnetfc_pallas(
 
     bf = jnp.bfloat16
     d_in_pad = max(_round_up(d_in, 128), 128)
-    d_out_pad = 128  # d_out=4 padded up to a lane tile
+    # planar: d_out rides the sublane dim (min tile 8 for f32); otherwise it is
+    # the lane dim and must pad to 128
+    d_out_pad = max(_round_up(d_out, 8), 8) if planar_out else 128
 
     # ---- pack weights ----
     w_in = jnp.zeros((d_in_pad, H), bf)
@@ -185,54 +283,106 @@ def resnetfc_pallas(
     )
     w_out = jnp.zeros((H, d_out_pad), bf)
     w_out = w_out.at[:, :d_out].set(params["lin_out"]["kernel"].astype(bf))
-    b_out = jnp.zeros((1, d_out_pad), jnp.float32)
-    b_out = b_out.at[0, :d_out].set(params["lin_out"]["bias"].astype(jnp.float32))
+    if planar_out:
+        b_out = jnp.zeros((d_out_pad, 1), jnp.float32)
+        b_out = b_out.at[:d_out, 0].set(
+            params["lin_out"]["bias"].astype(jnp.float32)
+        )
+    else:
+        b_out = jnp.zeros((1, d_out_pad), jnp.float32)
+        b_out = b_out.at[0, :d_out].set(
+            params["lin_out"]["bias"].astype(jnp.float32)
+        )
 
-    # ---- pack input: (NS, B_pad, d_latent + d_in_pad), bf16 ----
+    # ---- pack inputs ----
     BB = min(block_points, _round_up(B, 128))
     B_pad = _round_up(B, BB)
-    zxr = zx.reshape(NS, B, D).astype(bf)
-    zx_pad = jnp.zeros((NS, B_pad, d_latent + d_in_pad), bf)
-    zx_pad = zx_pad.at[:, :B, :d_latent].set(zxr[..., :d_latent])
-    zx_pad = zx_pad.at[:, :B, d_latent : d_latent + d_in].set(zxr[..., d_latent:])
-
+    pad_b = B_pad - B
     n_grid = B_pad // BB
-    Dp = d_latent + d_in_pad
-
-    kern = functools.partial(
-        _kernel,
-        NS=NS,
-        d_latent=d_latent,
-        n_blocks=n_blocks,
-        combine_layer=combine_layer,
-    )
     flops_per_pt = 2 * H * (d_in_pad + 2 * n_blocks * H + n_lin_z * d_latent + d_out_pad)
+    weight_args = (w_in, b_in, w_z, b_z, w_blk, b_blk, w_out, b_out)
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
+
+    if NS == 1:
+        x_in = _pad_last(x_part.reshape(B, -1), d_in_pad, bf)
+        if pad_b:
+            x_in = jnp.pad(x_in, ((0, pad_b), (0, 0)))
+        if d_latent > 0:
+            # fast path: z already bf16 and aligned -> streams with zero copies
+            z_in = z.reshape(B, d_latent).astype(bf)
+            if pad_b:
+                z_in = jnp.pad(z_in, ((0, pad_b), (0, 0)))
+            d_lat_in = d_latent
+        else:
+            z_in = jnp.zeros((B_pad, 128), bf)
+            d_lat_in = 128
+        kern = functools.partial(
+            _kernel_2d,
+            d_latent=d_latent,
+            n_blocks=n_blocks,
+            combine_layer=combine_layer,
+            planar_out=planar_out,
+        )
+        in_specs = [
+            pl.BlockSpec((BB, d_lat_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_in = _pad_last(x_part.reshape(NS, B, -1), d_in_pad, bf)
+        if pad_b:
+            x_in = jnp.pad(x_in, ((0, 0), (0, pad_b), (0, 0)))
+        if d_latent > 0:
+            z_in = z.reshape(NS, B, d_latent).astype(bf)
+            if pad_b:
+                z_in = jnp.pad(z_in, ((0, 0), (0, pad_b), (0, 0)))
+            d_lat_in = d_latent
+        else:
+            z_in = jnp.zeros((NS, B_pad, 128), bf)
+            d_lat_in = 128
+        kern = functools.partial(
+            _kernel,
+            NS=NS,
+            d_latent=d_latent,
+            n_blocks=n_blocks,
+            combine_layer=combine_layer,
+            planar_out=planar_out,
+        )
+        in_specs = [
+            pl.BlockSpec(
+                (NS, BB, d_lat_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (NS, BB, d_in_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    if planar_out:
+        out_spec = pl.BlockSpec(
+            (d_out_pad, BB), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((d_out_pad, B_pad), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (BB, d_out_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((B_pad, d_out_pad), jnp.float32)
+
     out = pl.pallas_call(
         kern,
         grid=(n_grid,),
-        in_specs=[
-            pl.BlockSpec((NS, BB, Dp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (BB, d_out_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B_pad, d_out_pad), jnp.float32),
+        in_specs=in_specs + weight_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * NS * B_pad,
-            bytes_accessed=zx_pad.size * 2 + B_pad * d_out_pad * 4,
+            bytes_accessed=(z_in.size + x_in.size) * 2 + B_pad * d_out_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(zx_pad, w_in, b_in, w_z, b_z, w_blk, b_blk, w_out, b_out)
+    )(z_in, x_in, *weight_args)
 
+    if planar_out:
+        return out[:d_out, :B][None]  # (1, d_out, B)
     return out[:B, :d_out][None]  # (1, B, d_out)
 
 

@@ -69,6 +69,12 @@ class RenderPipeline:
             self._use_viewdirs = self.net.conf.get_bool("use_viewdirs", False)
         return self._use_viewdirs
 
+    def _pallas_mlp(self) -> bool:
+        impl = getattr(self.net, "mlp_impl", "xla")
+        if impl == "pallas":
+            return True
+        return impl == "auto" and jax.default_backend() == "tpu"
+
     def _maybe_cast(self, tree):
         if self.compute_dtype is None:
             return tree
@@ -105,6 +111,7 @@ class RenderPipeline:
                     points,
                     viewdirs=viewdirs if use_viewdirs else None,
                     coarse=coarse,
+                    planar_out=True,
                     method=PixelNeRFNet.query,
                 )
                 return out.astype(jnp.float32)
@@ -164,6 +171,15 @@ class RenderPipeline:
 
         variables = self._maybe_cast(variables) if self.compute_dtype else variables
         scene = self._maybe_cast(scene) if self.compute_dtype else scene
+        if self.compute_dtype is None and self._pallas_mlp():
+            # the fused kernel consumes bf16 latents anyway — storing the feature
+            # maps in bf16 halves the gather read AND the sampled-latent write
+            # traffic without changing the kernel's numerics contract
+            scene = scene.replace(
+                latents=jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16), scene.latents
+                )
+            )
 
         pieces = []
         for start in range(0, NR, self.max_rays_per_dispatch):

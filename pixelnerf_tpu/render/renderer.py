@@ -30,7 +30,11 @@ from . import rays as ray_sampling
 
 Array = jnp.ndarray
 
-# model_fn(points (SB, P, 3), viewdirs (SB, P, 3) | None, coarse: bool) -> (SB, P, 4)
+# model_fn(points (SB, P, 3), viewdirs (SB, P, 3) | None, coarse: bool)
+#   -> (SB, 4, P) channel-major [r, g, b, sigma] planes
+# (channel-major so each channel is a contiguous plane — column-slicing a
+# point-major (P, 4) result costs a ~70 ms/M-point lane relayout on TPU;
+# build it with PixelNeRFNet.query(..., planar_out=True))
 ModelFn = Callable[..., Array]
 
 
@@ -106,9 +110,9 @@ def _eval_model_chunked(
         )
     else:
         out = jax.lax.map(lambda p: model_fn(p, None, coarse), pts)
-    # (n_chunks, SB, chunk, 4) -> (SB, P, 4)
-    out = out.transpose(1, 0, 2, 3).reshape(SB, n_chunks * chunk, -1)
-    return out[:, :P]
+    # (n_chunks, SB, 4, chunk) -> (SB, 4, P)
+    out = out.transpose(1, 2, 0, 3).reshape(SB, 4, n_chunks * chunk)
+    return out[..., :P]
 
 
 @jax.named_scope("renderer_composite")  # nerf.py:175 cut point
@@ -145,10 +149,10 @@ def composite(
 
     chunk = cfg.eval_batch_size if not training else 0
     out = _eval_model_chunked(model_fn, points, viewdirs, coarse, chunk)
-    out = out.reshape(SB, B, K, -1)
+    out = out.reshape(SB, 4, B, K)  # channel-major planes
 
-    rgbs = out[..., :3]
-    sigmas = out[..., 3]
+    rgbs = out[:, :3]  # (SB, 3, B, K)
+    sigmas = out[:, 3]  # (SB, B, K)
     if training and cfg.noise_std > 0.0 and rng is not None:
         sigmas = sigmas + jax.random.normal(rng, sigmas.shape) * cfg.noise_std
 
@@ -159,7 +163,10 @@ def composite(
     T = jnp.cumprod(alphas_shifted, axis=-1)
     weights = alphas * T[..., :-1]  # (SB, B, K)
 
-    rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)  # (SB, B, 3)
+    # every reduction runs over K in the lane dim of a (B, K) plane — no
+    # 3-wide minor dims anywhere
+    rgb_final = jnp.sum(weights[:, None] * rgbs, axis=-1)  # (SB, 3, B)
+    rgb_final = jnp.swapaxes(rgb_final, 1, 2)  # (SB, B, 3) — small
     depth_final = jnp.sum(weights * z_samp, axis=-1)  # (SB, B)
     if cfg.white_bkgd:
         pix_alpha = jnp.sum(weights, axis=-1)

@@ -188,6 +188,7 @@ def make_step_fns(
                 points,
                 viewdirs=viewdirs if use_viewdirs else None,
                 coarse=coarse,
+                planar_out=True,
                 method=PixelNeRFNet.query,
             )
 

@@ -112,10 +112,11 @@ def _mock_model(SB, B, K, seed=0):
     sigmas = rng.uniform(0, 5, size=(SB, B, K)).astype(np.float32)
 
     flat = np.concatenate([rgbs, sigmas[..., None]], axis=-1).reshape(SB, B * K, 4)
+    flat_planar = np.swapaxes(flat, 1, 2)  # (SB, 4, B*K) channel-major contract
 
     def model_fn(points, viewdirs, coarse):
         assert points.shape == (SB, B * K, 3)
-        return jnp.asarray(flat[:, : points.shape[1]])
+        return jnp.asarray(flat_planar[..., : points.shape[1]])
 
     return model_fn, rgbs, sigmas
 
@@ -151,9 +152,9 @@ def test_composite_chunked_equals_unchunked():
     # chunked model_fn must slice by position; emulate a real field by hashing pts
     def field(points, viewdirs, coarse):
         # value depends only on the point coordinates -> chunking invariant
-        v = jnp.sum(points, axis=-1, keepdims=True)
+        v = jnp.sum(points, axis=-1)[:, None]  # (SB, 1, P)
         return jnp.concatenate(
-            [jnp.sin(v), jnp.cos(v), jnp.sin(2 * v), jnp.abs(v)], axis=-1
+            [jnp.sin(v), jnp.cos(v), jnp.sin(2 * v), jnp.abs(v)], axis=1
         )
 
     big = RenderConfig(n_coarse=K, eval_batch_size=0)
@@ -169,7 +170,7 @@ def test_render_rays_structure_and_jit():
     rays = np.stack([make_rays(B, seed=i) for i in range(SB)])
 
     def field(points, viewdirs, coarse):
-        v = jnp.sum(points**2, axis=-1, keepdims=True)
+        v = jnp.sum(points**2, axis=-1)[:, None]  # (SB, 1, P)
         scale = 1.0 if coarse else 2.0
         return jnp.concatenate(
             [
@@ -178,7 +179,7 @@ def test_render_rays_structure_and_jit():
                 jnp.full_like(v, 0.5),
                 scale * jnp.exp(-v),
             ],
-            axis=-1,
+            axis=1,
         )
 
     cfg = RenderConfig(n_coarse=16, n_fine=8, n_fine_depth=4, white_bkgd=True)
