@@ -92,18 +92,27 @@ def main():
     # renders the whole pass in ONE dispatch (lax.map over chunks on device)
     chunk = int(os.environ.get("BENCH_RAY_CHUNK", 8192))
 
+    from pixelnerf_tpu.parallel import unpack_simple
+
     rng = jax.random.PRNGKey(1)
     # warmup / compile
-    pipeline.render(variables, scene, rays, rng, ray_batch_size=chunk)
+    pipeline.render_simple(variables, scene, rays, rng, ray_batch_size=chunk)
 
+    # gen_video's consumer loop: enqueue every pass (async dispatch), then
+    # fetch the packed (rgb, depth) frames — fetch of pass i overlaps device
+    # compute of pass i+1, exactly how a video writer drains frames
     n_timed = 3
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        out = pipeline.render(
-            variables, scene, rays, jax.random.fold_in(rng, i), ray_batch_size=chunk
+    pending = [
+        pipeline.render_simple(
+            variables, scene, rays, jax.random.fold_in(rng, i),
+            ray_batch_size=chunk, as_numpy=False,
         )
-        jax.block_until_ready(out["fine"]["rgb"])
+        for i in range(n_timed)
+    ]
+    outs = [unpack_simple(p) for p in pending]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(rgb).all() for rgb, _ in outs)
 
     rays_per_sec = n_timed * rays.shape[0] / dt
     print(

@@ -34,6 +34,14 @@ from ..render.renderer import NeRFRenderer, RenderConfig, render_rays
 Array = jnp.ndarray
 
 
+def unpack_simple(pieces):
+    """Fetch packed render_simple pieces -> (rgb (NR, 3), depth (NR,)) numpy."""
+    packed = np.concatenate(
+        [np.asarray(out)[:true_n] for out, true_n in pieces], axis=0
+    )
+    return packed[:, :3], packed[:, 3]
+
+
 class RenderPipeline:
     def __init__(
         self,
@@ -86,13 +94,20 @@ class RenderPipeline:
             tree,
         )
 
-    def _get_render_fn(self, cfg: RenderConfig, want_weights: bool, n_chunks: int, chunk: int):
+    def _get_render_fn(
+        self,
+        cfg: RenderConfig,
+        want_weights: bool,
+        n_chunks: int,
+        chunk: int,
+        packed: bool = False,
+    ):
         import dataclasses
 
         # ray chunking already bounds memory; disable the renderer's inner
         # point-chunking (it would serialize the MXU work pointlessly)
         cfg = dataclasses.replace(cfg, eval_batch_size=0)
-        key = (cfg, want_weights, n_chunks, chunk)
+        key = (cfg, want_weights, n_chunks, chunk, packed)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -120,7 +135,7 @@ class RenderPipeline:
 
             def one(args):
                 i, r = args
-                return render_rays(
+                out = render_rays(
                     field,
                     r[None],
                     jax.random.fold_in(rng, i),
@@ -129,6 +144,16 @@ class RenderPipeline:
                     training=False,
                     use_viewdirs=use_viewdirs,
                 )
+                if packed:
+                    # single (chunk, 4) [rgb, depth] leaf: ONE host fetch per
+                    # dispatch instead of four (the reference's simple_output
+                    # contract, nerf.py:32-39) — the tunnel D2H fixed cost
+                    # (~40 ms/fetch) otherwise dominates video generation
+                    branch = out["fine"] if cfg.using_fine else out["coarse"]
+                    out = jnp.concatenate(
+                        [branch["rgb"], branch["depth"][..., None]], axis=-1
+                    )
+                return out
 
             if n_chunks == 1:
                 out = one((jnp.zeros((), jnp.uint32), rc[0]))
@@ -149,21 +174,17 @@ class RenderPipeline:
         self._jitted[key] = jitted
         return jitted
 
-    def render(
+    def _dispatch(
         self,
         variables,
         scene: EncodedScene,
         rays: np.ndarray,
         rng: Array,
-        ray_batch_size: int = 50000,
-        want_weights: bool = False,
-    ) -> Dict[str, Any]:
-        """Render an arbitrary number of rays for one scene.
-
-        :param rays: (NR, 8) — the flattened view of gen_rays output
-        :param ray_batch_size: upper bound on the device chunk (the CLI -R knob)
-        :return: {"coarse": {...}[, "fine": {...}]} host numpy arrays (NR, ...)
-        """
+        ray_batch_size: int,
+        want_weights: bool,
+        packed: bool,
+    ):
+        """Launch device programs over the ray batch; yield (device_out, true_n)."""
         cfg = self.renderer.cfg
         NR = rays.shape[0]
         chunk = min(self.device_chunk, ray_batch_size, NR)
@@ -181,7 +202,6 @@ class RenderPipeline:
                 )
             )
 
-        pieces = []
         for start in range(0, NR, self.max_rays_per_dispatch):
             part = rays[start : start + self.max_rays_per_dispatch]
             n_chunks = -(-part.shape[0] // chunk)
@@ -190,23 +210,59 @@ class RenderPipeline:
                 part = np.concatenate(
                     [part, np.tile(part[-1:], (pad, 1))], axis=0
                 )
-            fn = self._get_render_fn(cfg, want_weights, n_chunks, chunk)
+            fn = self._get_render_fn(cfg, want_weights, n_chunks, chunk, packed)
             rng, step_rng = jax.random.split(rng)
             out = fn(variables, scene, jnp.asarray(part), step_rng)
-            true_n = min(NR - start, self.max_rays_per_dispatch)
-            pieces.append(
-                jax.tree.map(lambda x: np.asarray(x)[:true_n], out)
-            )
+            yield out, min(NR - start, self.max_rays_per_dispatch)
 
+    def render(
+        self,
+        variables,
+        scene: EncodedScene,
+        rays: np.ndarray,
+        rng: Array,
+        ray_batch_size: int = 50000,
+        want_weights: bool = False,
+    ) -> Dict[str, Any]:
+        """Render an arbitrary number of rays for one scene.
+
+        :param rays: (NR, 8) — the flattened view of gen_rays output
+        :param ray_batch_size: upper bound on the device chunk (the CLI -R knob)
+        :return: {"coarse": {...}[, "fine": {...}]} host numpy arrays (NR, ...)
+        """
+        pieces = [
+            jax.tree.map(lambda x: np.asarray(x)[:true_n], out)
+            for out, true_n in self._dispatch(
+                variables, scene, rays, rng, ray_batch_size, want_weights, False
+            )
+        ]
         if len(pieces) == 1:
             return pieces[0]
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 
     def render_simple(
-        self, variables, scene, rays, rng, ray_batch_size: int = 50000
+        self,
+        variables,
+        scene,
+        rays,
+        rng,
+        ray_batch_size: int = 50000,
+        as_numpy: bool = True,
     ):
         """(rgb, depth) from the fine pass if present, else coarse — the
-        reference's simple_output contract (nerf.py:32-39)."""
-        out = self.render(variables, scene, rays, rng, ray_batch_size)
-        branch = out["fine"] if self.renderer.using_fine else out["coarse"]
-        return branch["rgb"], branch["depth"]
+        reference's simple_output contract (nerf.py:32-39).
+
+        The device program is pruned to this output (XLA drops the unused
+        coarse compositing) and the transfer is ONE packed (NR, 4) array.
+        With ``as_numpy=False`` the packed device arrays are returned un-fetched
+        (list of (array, true_n)) — callers overlapping fetch with the next
+        dispatch unpack via :func:`unpack_simple`.
+        """
+        pieces = list(
+            self._dispatch(
+                variables, scene, rays, rng, ray_batch_size, False, True
+            )
+        )
+        if not as_numpy:
+            return pieces
+        return unpack_simple(pieces)
