@@ -128,6 +128,35 @@ class SpatialEncoder(nn.Module):
             )
         return jnp.concatenate(samples, axis=-1)
 
+    def index_taps(self, lat: Array, uv: Array, image_shape: Tuple[float, float]):
+        """Bilinear taps for a fused-gather lookup into a SINGLE feature map.
+
+        Same uv normalization as :meth:`index`, but instead of gathering, it
+        returns the (idx, w) taps into ``lat.reshape(B, H_l*W_l, C)`` for the
+        Pallas one-hot-matmul gather (ops.resnetfc_pallas.LatentGather).
+
+        :param lat: (B, H_l, W_l, C) — the unified (single-scale) map
+        :return: (idx (B, N, 4) int32, w (B, N, 4) f32)
+        """
+        from ..ops.grid_sample import bilinear_taps
+
+        w_img, h_img = image_shape
+        h_l, w_l = lat.shape[1], lat.shape[2]
+        if self.index_normalize == "feature":
+            gx = uv[..., 0] / (w_l - 1) * 2.0 - 1.0
+            gy = uv[..., 1] / (h_l - 1) * 2.0 - 1.0
+        else:
+            gx = uv[..., 0] * (w_l / w_img) * (2.0 / max(w_l - 1, 1)) - 1.0
+            gy = uv[..., 1] * (h_l / h_img) * (2.0 / max(h_l - 1, 1)) - 1.0
+        grid = jnp.stack([gx, gy], axis=-1)
+        return bilinear_taps(
+            grid,
+            h_l,
+            w_l,
+            align_corners=True,
+            padding_mode=self.index_padding,
+        )
+
     @classmethod
     def from_conf(cls, conf, **kwargs) -> "SpatialEncoder":
         # reference encoder.py:235-252

@@ -93,8 +93,12 @@ class ImplicitNet(nn.Module):
         combine_inner_dims: Sequence[int] = (1,),
         planar_out: bool = False,
     ) -> Array:
-        if isinstance(x, tuple):  # (z, x) parts — see ResnetFC.__call__
+        if type(x) is tuple:  # (z, x) parts — see ResnetFC.__call__
             z_p, x_p = x
+            if z_p is not None and not hasattr(z_p, "dtype"):  # LatentGather
+                from ..ops.resnetfc_pallas import materialize_gather
+
+                z_p = materialize_gather(z_p)
             if z_p is not None:
                 x = jnp.concatenate([z_p.astype(x_p.dtype), x_p], axis=-1)
             else:

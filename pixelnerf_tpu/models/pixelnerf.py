@@ -252,6 +252,24 @@ class PixelNeRFNet(nn.Module):
             num_views_per_obj=num_views_per_obj,
         )
 
+    # 64px-class feature maps (<=2048 rows) fit VMEM next to the MLP weights;
+    # beyond that the one-hot matmul outgrows the HBM gather it replaces
+    FUSED_GATHER_MAX_ROWS = 2048
+
+    def _fused_gather_ok(self, latents, NS: int) -> bool:
+        """Whether the pixel-aligned lookup can ride the fused Pallas kernel."""
+        if self.mlp_impl not in ("pallas", "auto"):
+            return False
+        if isinstance(latents, (list, tuple)):
+            return False
+        if self.use_global_encoder or self.is_multi_scale:
+            return False
+        if NS != 1 or latents.shape[0] != 1:
+            return False
+        if getattr(self.encoder, "index_interp", "bilinear") != "bilinear":
+            return False
+        return latents.shape[1] * latents.shape[2] <= self.FUSED_GATHER_MAX_ROWS
+
     # ----------------------------- query -----------------------------
     def query(
         self,
@@ -317,10 +335,25 @@ class PixelNeRFNet(nn.Module):
             latents = scene.latents
             if isinstance(latents, tuple):
                 latents = list(latents)
-            with jax.named_scope("encoder_index"):
-                latent = self.encoder.index(latents, uv, scene.image_shape)
-            if self.stop_encoder_grad:
-                latent = jax.lax.stop_gradient(latent)
+            if self._fused_gather_ok(latents, NS):
+                # defer the bilinear lookup into the Pallas field kernel: the
+                # (T, C) table stays VMEM-resident and the lookup becomes a
+                # one-hot matmul — no per-point HBM feature gather at all
+                from ..ops.resnetfc_pallas import LatentGather
+
+                table = latents.reshape(-1, latents.shape[-1])  # (T, C)
+                if self.stop_encoder_grad:
+                    table = jax.lax.stop_gradient(table)
+                with jax.named_scope("encoder_index"):
+                    t_idx, t_w = self.encoder.index_taps(
+                        latents, uv, scene.image_shape
+                    )
+                latent = LatentGather(table, t_idx[0], t_w[0])
+            else:
+                with jax.named_scope("encoder_index"):
+                    latent = self.encoder.index(latents, uv, scene.image_shape)
+                if self.stop_encoder_grad:
+                    latent = jax.lax.stop_gradient(latent)
 
         if self.use_global_encoder:
             g = scene.global_latent[:, None]  # (SB*NS, 1, C_g)
@@ -332,11 +365,29 @@ class PixelNeRFNet(nn.Module):
 
         # The (latent, coordinate-code) pair is passed UNconcatenated — the MLP
         # decides whether to fuse them (XLA path) or stream them separately into
-        # the Pallas kernel (the latent may be bf16 straight from the gather).
+        # the Pallas kernel (the latent may be bf16 straight from the gather,
+        # or a LatentGather deferring the lookup into the kernel itself).
+        from ..ops.resnetfc_pallas import LatentGather
+
+        is_gather = isinstance(latent, LatentGather)
         if mlp_input is None:
-            mlp_input = latent[..., :0]  # d_in == 0: zero-width code
+            assert not is_gather or self.d_in == 0
+            mlp_input = (
+                jnp.zeros(xyz_cam.shape[:-1] + (0,), jnp.float32)
+                if is_gather
+                else latent[..., :0]
+            )  # d_in == 0: zero-width code
         flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
-        flat_z = latent.reshape(-1, latent.shape[-1]) if latent is not None else None
+        if is_gather:
+            flat_z = LatentGather(
+                latent.table,
+                latent.idx.reshape(-1, 4),
+                latent.w.reshape(-1, 4),
+            )
+        elif latent is not None:
+            flat_z = latent.reshape(-1, latent.shape[-1])
+        else:
+            flat_z = None
         arg = (flat_z, flat_x) if flat_z is not None else flat_x
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("mlp_forward"):

@@ -106,17 +106,18 @@ class ResnetFC(nn.Module):
             of the Pallas kernel; downstream compositing reads channels as
             contiguous rows instead of column-slicing (a ~70 ms/M-point relayout)
         """
-        parts = zx if isinstance(zx, tuple) else None
+        parts = zx if type(zx) is tuple else None  # NOT LatentGather (also a tuple)
         if self._pallas_supported(combine_inner_dims):
             from ..ops import resnetfc_pallas as rp
 
             NS, B = combine_inner_dims
             if parts is not None:
                 z_p, x_p = parts
-                arg = (
-                    z_p.reshape(-1, z_p.shape[-1]) if z_p is not None else None,
-                    x_p.reshape(-1, x_p.shape[-1]),
-                )
+                if z_p is None or isinstance(z_p, rp.LatentGather):
+                    z_arg = z_p  # gather taps arrive pre-flattened from query
+                else:
+                    z_arg = z_p.reshape(-1, z_p.shape[-1])
+                arg = (z_arg, x_p.reshape(-1, x_p.shape[-1]))
                 d_in = x_p.shape[-1]
             else:
                 arg = zx.reshape(-1, zx.shape[-1])
@@ -137,6 +138,10 @@ class ResnetFC(nn.Module):
         d_latent = self.d_latent
         if parts is not None:
             z, x = parts
+            if z is not None and not hasattr(z, "dtype"):  # LatentGather
+                from ..ops.resnetfc_pallas import materialize_gather
+
+                z = materialize_gather(z)
             if z is not None and z.dtype != x.dtype:
                 z = z.astype(x.dtype)
             assert (z.shape[-1] if z is not None else 0) == d_latent

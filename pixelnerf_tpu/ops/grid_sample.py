@@ -134,6 +134,78 @@ def grid_sample(
     return (top * (1 - wy) + bot * wy).astype(feat.dtype)
 
 
+def bilinear_taps(
+    uv: Array,
+    height: int,
+    width: int,
+    align_corners: bool = True,
+    padding_mode: str = "border",
+):
+    """Decompose a bilinear grid_sample into its 4 (index, weight) taps.
+
+    Same coordinate semantics as :func:`grid_sample` (bilinear); the returned
+    taps satisfy ``sample = sum_j w[..., j] * flat_feat[idx[..., j]]`` with
+    ``flat_feat = feat.reshape(H*W, C)``.  Used by the fused Pallas field
+    kernel to evaluate the lookup as a one-hot matmul against a VMEM-resident
+    feature table (ops.resnetfc_pallas.LatentGather).
+
+    :param uv: (..., 2) sample points in [-1, 1]
+    :return: (idx (..., 4) int32, w (..., 4) f32)
+    """
+    H, W = height, width
+    x = _unnormalize(uv[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(uv[..., 1].astype(jnp.float32), H, align_corners)
+    x = jnp.nan_to_num(x, nan=-2.0, posinf=1e7, neginf=-1e7)
+    y = jnp.nan_to_num(y, nan=-2.0, posinf=1e7, neginf=-1e7)
+
+    if padding_mode == "reflection":
+        x = _reflect(x, 0.0, float(W - 1))
+        y = _reflect(y, 0.0, float(H - 1))
+    else:
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+
+    w00 = (1 - wx) * (1 - wy)
+    w01 = wx * (1 - wy)
+    w10 = (1 - wx) * wy
+    w11 = wx * wy
+    if padding_mode == "zeros":
+        in_x0 = ((x0 >= 0) & (x0 <= W - 1)).astype(jnp.float32)
+        in_x1 = ((x1 >= 0) & (x1 <= W - 1)).astype(jnp.float32)
+        in_y0 = ((y0 >= 0) & (y0 <= H - 1)).astype(jnp.float32)
+        in_y1 = ((y1 >= 0) & (y1 <= H - 1)).astype(jnp.float32)
+        w00 = w00 * in_x0 * in_y0
+        w01 = w01 * in_x1 * in_y0
+        w10 = w10 * in_x0 * in_y1
+        w11 = w11 * in_x1 * in_y1
+
+    idx = jnp.stack(
+        [
+            y0c * W + x0c,
+            y0c * W + x1c,
+            y1c * W + x0c,
+            y1c * W + x1c,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    w = jnp.stack([w00, w01, w10, w11], axis=-1)
+    return idx, w
+
+
 def resize_bilinear(feat: Array, out_h: int, out_w: int) -> Array:
     """Bilinear resize with half-pixel centers (= torch F.interpolate
     align_corners=False), used by the fusion modules to unify feature-map scales

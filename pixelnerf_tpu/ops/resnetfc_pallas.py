@@ -28,7 +28,7 @@ block), so multi-view inputs need no cross-block communication.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
+
+
+class LatentGather(NamedTuple):
+    """A deferred pixel-aligned feature lookup: ``z[i] = sum_j w[i,j] * table[idx[i,j]]``.
+
+    Instead of gathering the 4 bilinear corner rows from HBM (~190 GB/s
+    effective — 4 x C x 2 bytes per point), the fused kernel keeps ``table``
+    VMEM-resident and evaluates the lookup as a one-hot matmul on the MXU
+    (2*T*C FLOPs/point; profitable whenever T = H_l*W_l is small, e.g. 1024
+    rows for 64px inputs).  Exactly reproduces border-clamped bilinear
+    grid_sample: clamped duplicate corners simply accumulate their weights.
+    """
+
+    table: Array  # (T, C) flattened feature rows
+    idx: Array  # (B, 4) int32 flat row indices (already padding-resolved)
+    w: Array  # (B, 4) f32 bilinear corner weights (0 for masked-out corners)
+
+
+def materialize_gather(g: LatentGather) -> Array:
+    """XLA fallback: resolve a LatentGather to dense (B, C) features."""
+    rows = jnp.take(g.table, g.idx.reshape(-1), axis=0)
+    rows = rows.reshape(g.idx.shape + (g.table.shape[-1],))  # (B, 4, C)
+    return jnp.sum(rows * g.w[..., None].astype(rows.dtype), axis=-2)
+
+
+def _ct(interpret: bool):
+    """Kernel compute dtype: bf16 on TPU; f32 under interpret mode (the CPU
+    DotThunk backing interpret mode has no bf16 path for narrow outputs)."""
+    return jnp.float32 if interpret else jnp.bfloat16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,6 +89,7 @@ def _kernel_2d(
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    interpret: bool = False,
 ):
     """Single-view (NS==1) fast path: plain 2D blocks compile ~10x faster under
     Mosaic than the (NS, BB, D) 3D layout and run at ~92% of the chip's matmul
@@ -83,7 +113,7 @@ def _kernel_2d(
             )
         h = (
             jnp.dot(
-                jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+                jnp.maximum(x, 0.0).astype(_ct(interpret)),
                 w_blk_ref[k, 0],
                 preferred_element_type=jnp.float32,
             )
@@ -91,7 +121,7 @@ def _kernel_2d(
         )
         dx = (
             jnp.dot(
-                jnp.maximum(h, 0.0).astype(jnp.bfloat16),
+                jnp.maximum(h, 0.0).astype(_ct(interpret)),
                 w_blk_ref[k, 1],
                 preferred_element_type=jnp.float32,
             )
@@ -99,7 +129,80 @@ def _kernel_2d(
         )
         x = x + dx
     res = jnp.dot(
-        jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+        jnp.maximum(x, 0.0).astype(_ct(interpret)),
+        w_out_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    if planar_out:
+        out_ref[:] = res.T + b_out_ref[:]
+    else:
+        out_ref[:] = res + b_out_ref[:]
+
+
+def _kernel_2d_gather(
+    idx_ref,  # (BB, 8) int32 — cols 0..3 are the bilinear corner rows
+    w_ref,  # (BB, 8) f32 — cols 0..3 are the corner weights
+    x_ref,  # (BB, d_in_pad) bf16
+    table_ref,  # (T, C) bf16 — VMEM-resident flattened feature map
+    w_in_ref,
+    b_in_ref,
+    w_z_ref,
+    b_z_ref,
+    w_blk_ref,
+    b_blk_ref,
+    w_out_ref,
+    b_out_ref,
+    out_ref,  # (d_out_pad, BB) f32 (planar) or (BB, d_out_pad)
+    *,
+    n_blocks: int,
+    combine_layer: int,
+    planar_out: bool,
+    interpret: bool = False,
+):
+    """NS==1 fast path with the feature gather fused in: the bilinear lookup is
+    a one-hot (BB, T) @ (T, C) matmul against the VMEM-resident table (see
+    LatentGather).  The one-hot is built from 4 iota compares on the VPU."""
+    BB = idx_ref.shape[0]
+    T = table_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB, T), 1)
+    idx = idx_ref[:]
+    w4 = w_ref[:]
+    S = jnp.zeros((BB, T), jnp.float32)
+    for j in range(4):
+        S = S + jnp.where(iota == idx[:, j : j + 1], 1.0, 0.0) * w4[:, j : j + 1]
+    z = jnp.dot(
+        S.astype(_ct(interpret)), table_ref[:], preferred_element_type=jnp.float32
+    ).astype(_ct(interpret))
+
+    x = (
+        jnp.dot(x_ref[:], w_in_ref[:], preferred_element_type=jnp.float32)
+        + b_in_ref[:]
+    )
+    for k in range(n_blocks):
+        if k < combine_layer:
+            x = x + (
+                jnp.dot(z, w_z_ref[k], preferred_element_type=jnp.float32)
+                + b_z_ref[k]
+            )
+        h = (
+            jnp.dot(
+                jnp.maximum(x, 0.0).astype(_ct(interpret)),
+                w_blk_ref[k, 0],
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk_ref[k, 0]
+        )
+        dx = (
+            jnp.dot(
+                jnp.maximum(h, 0.0).astype(_ct(interpret)),
+                w_blk_ref[k, 1],
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk_ref[k, 1]
+        )
+        x = x + dx
+    res = jnp.dot(
+        jnp.maximum(x, 0.0).astype(_ct(interpret)),
         w_out_ref[:],
         preferred_element_type=jnp.float32,
     )
@@ -127,6 +230,7 @@ def _kernel(
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    interpret: bool = False,
 ):
     H = w_in_ref.shape[1]
     BB = x_ref.shape[1]
@@ -153,7 +257,7 @@ def _kernel(
         # ResnetBlockFC: x + fc_1(relu(fc_0(relu(x))))
         h = (
             jnp.dot(
-                jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+                jnp.maximum(x, 0.0).astype(_ct(interpret)),
                 w_blk_ref[k, 0],
                 preferred_element_type=jnp.float32,
             )
@@ -161,7 +265,7 @@ def _kernel(
         )
         dx = (
             jnp.dot(
-                jnp.maximum(h, 0.0).astype(jnp.bfloat16),
+                jnp.maximum(h, 0.0).astype(_ct(interpret)),
                 w_blk_ref[k, 1],
                 preferred_element_type=jnp.float32,
             )
@@ -170,7 +274,7 @@ def _kernel(
         x = x + dx
 
     res = jnp.dot(
-        jnp.maximum(x, 0.0).astype(jnp.bfloat16),
+        jnp.maximum(x, 0.0).astype(_ct(interpret)),
         w_out_ref[:],
         preferred_element_type=jnp.float32,
     )
@@ -218,6 +322,9 @@ def resnetfc_pallas(
         total = x_part.shape[0]
         assert x_part.shape[-1] == d_in, (x_part.shape, d_in)
         assert (z is None) == (d_latent == 0)
+        if isinstance(z, LatentGather):
+            assert NS == 1, "fused gather supports single-view batches"
+            assert z.table.shape[-1] == d_latent, (z.table.shape, d_latent)
     else:
         total, D = zx.shape
         assert D == d_latent + d_in, (D, d_latent, d_in)
@@ -230,7 +337,7 @@ def resnetfc_pallas(
     B = total // NS
     H = params["lin_out"]["kernel"].shape[0]
 
-    bf = jnp.bfloat16
+    bf = _ct(interpret)
     d_in_pad = max(_round_up(d_in, 128), 128)
     # planar: d_out rides the sublane dim (min tile 8 for f32); otherwise it is
     # the lane dim and must pad to 128
@@ -303,7 +410,30 @@ def resnetfc_pallas(
     weight_args = (w_in, b_in, w_z, b_z, w_blk, b_blk, w_out, b_out)
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
 
-    if NS == 1:
+    if NS == 1 and isinstance(z, LatentGather):
+        x_in = _pad_last(x_part.reshape(B, -1), d_in_pad, bf)
+        idx_in = _pad_last(z.idx.reshape(B, -1), 8, jnp.int32)
+        w_in_taps = _pad_last(z.w.reshape(B, -1), 8, jnp.float32)
+        if pad_b:
+            x_in = jnp.pad(x_in, ((0, pad_b), (0, 0)))
+            idx_in = jnp.pad(idx_in, ((0, pad_b), (0, 0)))
+            w_in_taps = jnp.pad(w_in_taps, ((0, pad_b), (0, 0)))
+        kern = functools.partial(
+            _kernel_2d_gather,
+            n_blocks=n_blocks,
+            combine_layer=combine_layer,
+            planar_out=planar_out,
+            interpret=interpret,
+        )
+        in_specs = [
+            pl.BlockSpec((BB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table, VMEM-resident
+        ]
+        point_args = (idx_in, w_in_taps, x_in, z.table.astype(bf))
+        in_bytes = idx_in.size * 4 + w_in_taps.size * 4 + x_in.size * 2
+    elif NS == 1:
         x_in = _pad_last(x_part.reshape(B, -1), d_in_pad, bf)
         if pad_b:
             x_in = jnp.pad(x_in, ((0, pad_b), (0, 0)))
@@ -322,11 +452,14 @@ def resnetfc_pallas(
             n_blocks=n_blocks,
             combine_layer=combine_layer,
             planar_out=planar_out,
+            interpret=interpret,
         )
         in_specs = [
             pl.BlockSpec((BB, d_lat_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
+        point_args = (z_in, x_in)
+        in_bytes = (z_in.size + x_in.size) * 2
     else:
         x_in = _pad_last(x_part.reshape(NS, B, -1), d_in_pad, bf)
         if pad_b:
@@ -346,6 +479,7 @@ def resnetfc_pallas(
             n_blocks=n_blocks,
             combine_layer=combine_layer,
             planar_out=planar_out,
+            interpret=interpret,
         )
         in_specs = [
             pl.BlockSpec(
@@ -355,6 +489,8 @@ def resnetfc_pallas(
                 (NS, BB, d_in_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ]
+        point_args = (z_in, x_in)
+        in_bytes = (z_in.size + x_in.size) * 2
 
     if planar_out:
         out_spec = pl.BlockSpec(
@@ -375,11 +511,11 @@ def resnetfc_pallas(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * NS * B_pad,
-            bytes_accessed=(z_in.size + x_in.size) * 2 + B_pad * d_out_pad * 4,
+            bytes_accessed=in_bytes + B_pad * d_out_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(z_in, x_in, *weight_args)
+    )(*point_args, *weight_args)
 
     if planar_out:
         return out[:d_out, :B][None]  # (1, d_out, B)

@@ -124,3 +124,104 @@ def test_resnetfc_pallas_impl_flag():
     assert not rp.supports(100.0, False, "average")
     assert not rp.supports(0.0, True, "average")
     assert not rp.supports(0.0, False, "max")
+
+
+def test_bilinear_taps_match_grid_sample():
+    from pixelnerf_tpu.ops.grid_sample import bilinear_taps, grid_sample
+
+    rng = np.random.default_rng(11)
+    H, W, C, N = 9, 7, 5, 200
+    feat = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1.3, 1.3, size=(1, N, 2)).astype(np.float32))
+    for mode in ("border", "zeros"):
+        ref = np.asarray(grid_sample(feat, uv, padding_mode=mode))
+        idx, w = bilinear_taps(uv, H, W, padding_mode=mode)
+        flat = np.asarray(feat).reshape(H * W, C)
+        got = np.einsum("bnj,bnjc->bnc", np.asarray(w), flat[np.asarray(idx)])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pallas_fused_gather_matches_dense():
+    """LatentGather path (interpret mode) == dense-latent path == XLA."""
+    from pixelnerf_tpu.ops.grid_sample import bilinear_taps
+
+    d_in, d_latent, d_hidden, n_blocks = 10, 64, 128, 3
+    model, params = _make(d_in, d_latent, d_hidden, n_blocks, combine_layer=2)
+    rng = np.random.default_rng(3)
+    B, T = 150, 48
+    table = jnp.asarray(rng.normal(size=(T, d_latent)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1.1, 1.1, size=(1, B, 2)).astype(np.float32))
+    idx, w = bilinear_taps(uv, 6, 8)
+    x_part = jnp.asarray(rng.normal(size=(B, d_in)).astype(np.float32))
+
+    g = rp.LatentGather(table, idx[0], w[0])
+    z_dense = rp.materialize_gather(g)
+
+    ref = model.apply(
+        {"params": params},
+        jnp.concatenate([z_dense, x_part], axis=-1),
+        combine_inner_dims=(1, B),
+    )
+    for planar in (False, True):
+        out = rp.resnetfc_pallas(
+            params,
+            (g, x_part),
+            NS=1,
+            d_latent=d_latent,
+            d_in=d_in,
+            n_blocks=n_blocks,
+            combine_layer=2,
+            interpret=True,
+            planar_out=planar,
+        )
+        got = np.asarray(out[0]).T if planar else np.asarray(out[0])
+        refn = np.asarray(ref[0] if ref.ndim == 3 else ref)
+        tol = 0.02 * max(float(np.abs(refn).max()), 1.0)
+        np.testing.assert_allclose(got, refn, atol=tol)
+
+
+def test_query_fused_gather_matches_dense_query():
+    """PixelNeRFNet.query with the fused-gather path (pallas, interpret) equals
+    the XLA dense path within bf16 tolerance."""
+    import pixelnerf_tpu.ops.resnetfc_pallas as rpmod
+    from pixelnerf_tpu.config import hocon
+    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+
+    conf = hocon.parse_file("conf/exp/sn64.conf")
+    net_x = make_model(conf["model"])
+    net_p = make_model(conf["model"], mlp_impl="pallas")
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(-1, 1, size=(1, 1, 32, 32, 3)).astype(np.float32))
+    poses = np.eye(4, dtype=np.float32)[None, None]
+    poses[0, 0, 2, 3] = 1.3
+    poses = jnp.asarray(poses)
+    focal = jnp.asarray(np.float32(30.0))
+    xyz = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32) * 0.3)
+    vd = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+
+    variables = net_x.init(jax.random.PRNGKey(0), images, poses, focal, xyz, vd)
+    scene = net_x.apply(variables, images, poses, focal, method=PixelNeRFNet.encode)
+    ref = net_x.apply(
+        variables, scene, xyz, viewdirs=vd, method=PixelNeRFNet.query
+    )
+
+    assert net_p.apply(
+        variables, jnp.asarray(scene.latents), 1,
+        method=PixelNeRFNet._fused_gather_ok,
+    )
+
+    orig = rpmod.resnetfc_pallas
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+    rpmod.resnetfc_pallas = interp
+    try:
+        for planar in (False, True):
+            out = net_p.apply(
+                variables, scene, xyz, viewdirs=vd, planar_out=planar,
+                method=PixelNeRFNet.query,
+            )
+            got = np.swapaxes(np.asarray(out), 1, 2) if planar else np.asarray(out)
+            np.testing.assert_allclose(got, np.asarray(ref), atol=0.02)
+    finally:
+        rpmod.resnetfc_pallas = orig
