@@ -264,11 +264,20 @@ class PixelNeRFNet(nn.Module):
             return False
         if self.use_global_encoder or self.is_multi_scale:
             return False
-        if NS != 1 or latents.shape[0] != 1:
+        if latents.shape[0] != NS:  # requires SB == 1 (one table set in VMEM)
             return False
+        if NS > 1:
+            for mlp in (self.mlp_coarse, self.mlp_fine):
+                if mlp is not None and not (
+                    0
+                    <= getattr(mlp, "combine_layer", -1)
+                    < getattr(mlp, "n_blocks", 0)
+                ):
+                    return False
         if getattr(self.encoder, "index_interp", "bilinear") != "bilinear":
             return False
-        return latents.shape[1] * latents.shape[2] <= self.FUSED_GATHER_MAX_ROWS
+        # NS tables must fit VMEM together
+        return NS * latents.shape[1] * latents.shape[2] <= self.FUSED_GATHER_MAX_ROWS
 
     # ----------------------------- query -----------------------------
     def query(
@@ -341,14 +350,18 @@ class PixelNeRFNet(nn.Module):
                 # one-hot matmul — no per-point HBM feature gather at all
                 from ..ops.resnetfc_pallas import LatentGather
 
-                table = latents.reshape(-1, latents.shape[-1])  # (T, C)
+                C = latents.shape[-1]
+                if NS == 1:
+                    table = latents.reshape(-1, C)  # (T, C)
+                else:
+                    table = latents.reshape(NS, -1, C)  # (NS, T, C)
                 if self.stop_encoder_grad:
                     table = jax.lax.stop_gradient(table)
                 with jax.named_scope("encoder_index"):
                     t_idx, t_w = self.encoder.index_taps(
                         latents, uv, scene.image_shape
                     )
-                latent = LatentGather(table, t_idx[0], t_w[0])
+                latent = LatentGather(table, t_idx, t_w)
             else:
                 with jax.named_scope("encoder_index"):
                     latent = self.encoder.index(latents, uv, scene.image_shape)

@@ -16,13 +16,17 @@ Semantics match ResnetFC(beta=0, average combine) exactly
 (reference resnetfc.py:173-236); softplus/SPADE/max-combine configs fall back to
 the XLA implementation.
 
-Layout: the latent ``z (NS, B, d_latent)`` and coordinate code ``x (NS, B, d_in)``
-are passed as SEPARATE refs — the caller never materializes the concatenated
-(d_latent + d_in) tensor, and when ``z`` arrives already in bf16 with
-``B % block_points == 0`` it streams straight from the gather output with zero
-repacking (the dominant non-MLP HBM cost otherwise).  The combine-layer
-multi-view mean happens inside the block (all NS rows of a point share a
-block), so multi-view inputs need no cross-block communication.
+Layout: the latent ``z`` and coordinate code ``x`` are passed as SEPARATE refs —
+the caller never materializes the concatenated (d_latent + d_in) tensor, and
+when ``z`` arrives already in bf16 with ``B % block_points == 0`` it streams
+straight from the gather output with zero repacking (the dominant non-MLP HBM
+cost otherwise).  Multi-view (NS > 1) inputs are packed POINT-MAJOR — all NS
+views of a point live in one row as per-view column groups — so every kernel
+block stays plain 2D (a (NS, BB, D) 3D layout compiled ~10x slower under Mosaic
+and ran below peak); the combine-layer multi-view mean happens inside the
+block, so multi-view inputs need no cross-block communication.  ``z`` may also
+be a :class:`LatentGather`, deferring the pixel-aligned bilinear lookup into
+the kernel as a one-hot matmul against a VMEM-resident feature table.
 """
 
 from __future__ import annotations
@@ -56,9 +60,20 @@ class LatentGather(NamedTuple):
 
 
 def materialize_gather(g: LatentGather) -> Array:
-    """XLA fallback: resolve a LatentGather to dense (B, C) features."""
-    rows = jnp.take(g.table, g.idx.reshape(-1), axis=0)
-    rows = rows.reshape(g.idx.shape + (g.table.shape[-1],))  # (B, 4, C)
+    """XLA fallback: resolve a LatentGather to dense (B, C) features.
+
+    ``table`` may be (T, C) or per-view (NS, T, C) with view-major idx/w —
+    per-view indices are offset into the flattened table.
+    """
+    table, idx = g.table, g.idx
+    if table.ndim == 3:
+        NS, T, C = table.shape
+        B = idx.shape[0] // NS
+        offs = (jnp.arange(NS, dtype=idx.dtype) * T)[:, None, None]
+        idx = (idx.reshape(NS, B, -1) + offs).reshape(NS * B, -1)
+        table = table.reshape(NS * T, C)
+    rows = jnp.take(table, idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (table.shape[-1],))  # (B, 4, C)
     return jnp.sum(rows * g.w[..., None].astype(rows.dtype), axis=-2)
 
 
@@ -212,67 +227,67 @@ def _kernel_2d_gather(
         out_ref[:] = res + b_out_ref[:]
 
 
-def _kernel(
-    z_ref,  # (NS, BB, d_latent) bf16   (dummy (NS, BB, 128) zeros when d_latent==0)
-    x_ref,  # (NS, BB, d_in_pad) bf16
-    w_in_ref,  # (d_in_pad, H) bf16
-    b_in_ref,  # (1, H) f32
-    w_z_ref,  # (n_lin_z, d_latent, H) bf16  (dummy (1,1,H) when d_latent==0)
-    b_z_ref,  # (n_lin_z, 1, H) f32
-    w_blk_ref,  # (n_blocks, 2, H, H) bf16
-    b_blk_ref,  # (n_blocks, 2, 1, H) f32
-    w_out_ref,  # (H, d_out_pad) bf16
-    b_out_ref,  # (1, d_out_pad) f32
-    out_ref,  # (BB, d_out_pad) f32
-    *,
-    NS: int,
-    d_latent: int,
-    n_blocks: int,
-    combine_layer: int,
-    planar_out: bool,
-    interpret: bool = False,
-):
-    H = w_in_ref.shape[1]
-    BB = x_ref.shape[1]
-
-    z = z_ref[:].reshape(NS * BB, -1) if d_latent > 0 else None
-    x_part = x_ref[:].reshape(NS * BB, -1)
-
-    x = (
-        jnp.dot(x_part, w_in_ref[:], preferred_element_type=jnp.float32)
-        + b_in_ref[:]
+def _resblock(x, k, w_blk_ref, b_blk_ref, interpret):
+    """ResnetBlockFC: x + fc_1(relu(fc_0(relu(x))))."""
+    h = (
+        jnp.dot(
+            jnp.maximum(x, 0.0).astype(_ct(interpret)),
+            w_blk_ref[k, 0],
+            preferred_element_type=jnp.float32,
+        )
+        + b_blk_ref[k, 0]
     )
+    dx = (
+        jnp.dot(
+            jnp.maximum(h, 0.0).astype(_ct(interpret)),
+            w_blk_ref[k, 1],
+            preferred_element_type=jnp.float32,
+        )
+        + b_blk_ref[k, 1]
+    )
+    return x + dx
 
+
+def _mv_body(
+    zs,  # list of NS per-view latents (BB, d_latent) or None
+    xs,  # list of NS per-view lin_in activations (BB, H)
+    w_z_ref,
+    b_z_ref,
+    w_blk_ref,
+    b_blk_ref,
+    w_out_ref,
+    b_out_ref,
+    out_ref,
+    *,
+    n_blocks,
+    combine_layer,
+    planar_out,
+    interpret,
+):
+    """Shared multi-view trunk: per-view inject+resblock branches until
+    ``combine_layer``, mean across views, then the shared tail.  Matches
+    ResnetFC semantics exactly (inject only while blkid < combine_layer,
+    reference resnetfc.py:203-232)."""
+    NS = len(xs)
+    x = None  # combined
     for k in range(n_blocks):
-        if k == combine_layer and NS > 1:
-            x = jnp.mean(x.reshape(NS, BB, H), axis=0)
-        if d_latent > 0 and k < combine_layer:
-            tz = (
-                jnp.dot(
-                    z, w_z_ref[k], preferred_element_type=jnp.float32
+        if k == combine_layer:
+            x = xs[0] if NS == 1 else sum(xs) * (1.0 / NS)
+        if x is not None:
+            x = _resblock(x, k, w_blk_ref, b_blk_ref, interpret)
+            continue
+        for v in range(NS):
+            xv = xs[v]
+            if zs is not None:
+                xv = xv + (
+                    jnp.dot(
+                        zs[v], w_z_ref[k], preferred_element_type=jnp.float32
+                    )
+                    + b_z_ref[k]
                 )
-                + b_z_ref[k]
-            )
-            x = x + tz
-        # ResnetBlockFC: x + fc_1(relu(fc_0(relu(x))))
-        h = (
-            jnp.dot(
-                jnp.maximum(x, 0.0).astype(_ct(interpret)),
-                w_blk_ref[k, 0],
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk_ref[k, 0]
-        )
-        dx = (
-            jnp.dot(
-                jnp.maximum(h, 0.0).astype(_ct(interpret)),
-                w_blk_ref[k, 1],
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk_ref[k, 1]
-        )
-        x = x + dx
-
+            xs[v] = _resblock(xv, k, w_blk_ref, b_blk_ref, interpret)
+    if x is None:  # combine_layer >= n_blocks (only legal for NS == 1)
+        x = xs[0]
     res = jnp.dot(
         jnp.maximum(x, 0.0).astype(_ct(interpret)),
         w_out_ref[:],
@@ -282,6 +297,131 @@ def _kernel(
         out_ref[:] = res.T + b_out_ref[:]
     else:
         out_ref[:] = res + b_out_ref[:]
+
+
+def _kernel_2d_mv(
+    z_ref,  # (BB, NS * d_latent) bf16, point-major per-view column groups
+    x_ref,  # (BB, NS * d_in_pad) bf16
+    w_in_ref,
+    b_in_ref,
+    w_z_ref,
+    b_z_ref,
+    w_blk_ref,
+    b_blk_ref,
+    w_out_ref,
+    b_out_ref,
+    out_ref,
+    *,
+    NS: int,
+    d_latent: int,
+    d_in_pad: int,
+    n_blocks: int,
+    combine_layer: int,
+    planar_out: bool,
+    interpret: bool = False,
+):
+    """Multi-view point-major kernel: all NS views of a point live in one row as
+    column groups, so blocks stay plain 2D (the (NS, BB, D) 3D layout compiled
+    ~10x slower under Mosaic and ran below peak).  Per-view branches unroll in
+    Python; the view mean happens at combine_layer."""
+    zs = None
+    if d_latent > 0:
+        zs = [
+            z_ref[:, v * d_latent : (v + 1) * d_latent] for v in range(NS)
+        ]
+    xs = [
+        jnp.dot(
+            x_ref[:, v * d_in_pad : (v + 1) * d_in_pad],
+            w_in_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + b_in_ref[:]
+        for v in range(NS)
+    ]
+    _mv_body(
+        zs,
+        xs,
+        w_z_ref,
+        b_z_ref,
+        w_blk_ref,
+        b_blk_ref,
+        w_out_ref,
+        b_out_ref,
+        out_ref,
+        n_blocks=n_blocks,
+        combine_layer=combine_layer,
+        planar_out=planar_out,
+        interpret=interpret,
+    )
+
+
+def _kernel_2d_mv_gather(
+    idx_ref,  # (BB, NS * 8) int32 — per-view column groups, cols 0..3 used
+    w4_ref,  # (BB, NS * 8) f32
+    x_ref,  # (BB, NS * d_in_pad) bf16
+    table_ref,  # (NS, T, C) bf16 — per-view VMEM-resident feature tables
+    w_in_ref,
+    b_in_ref,
+    w_z_ref,
+    b_z_ref,
+    w_blk_ref,
+    b_blk_ref,
+    w_out_ref,
+    b_out_ref,
+    out_ref,
+    *,
+    NS: int,
+    d_in_pad: int,
+    n_blocks: int,
+    combine_layer: int,
+    planar_out: bool,
+    interpret: bool = False,
+):
+    """Multi-view fused-gather kernel: per-view one-hot matmuls against the
+    stacked (NS, T, C) table (see LatentGather / _kernel_2d_gather)."""
+    BB = idx_ref.shape[0]
+    T = table_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB, T), 1)
+    zs = []
+    for v in range(NS):
+        S = jnp.zeros((BB, T), jnp.float32)
+        for j in range(4):
+            c = v * 8 + j
+            S = S + (
+                jnp.where(iota == idx_ref[:, c : c + 1], 1.0, 0.0)
+                * w4_ref[:, c : c + 1]
+            )
+        zs.append(
+            jnp.dot(
+                S.astype(_ct(interpret)),
+                table_ref[v],
+                preferred_element_type=jnp.float32,
+            ).astype(_ct(interpret))
+        )
+    xs = [
+        jnp.dot(
+            x_ref[:, v * d_in_pad : (v + 1) * d_in_pad],
+            w_in_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + b_in_ref[:]
+        for v in range(NS)
+    ]
+    _mv_body(
+        zs,
+        xs,
+        w_z_ref,
+        b_z_ref,
+        w_blk_ref,
+        b_blk_ref,
+        w_out_ref,
+        b_out_ref,
+        out_ref,
+        n_blocks=n_blocks,
+        combine_layer=combine_layer,
+        planar_out=planar_out,
+        interpret=interpret,
+    )
 
 
 def _pad_last(x: Array, to: int, dtype) -> Array:
@@ -323,8 +463,13 @@ def resnetfc_pallas(
         assert x_part.shape[-1] == d_in, (x_part.shape, d_in)
         assert (z is None) == (d_latent == 0)
         if isinstance(z, LatentGather):
-            assert NS == 1, "fused gather supports single-view batches"
             assert z.table.shape[-1] == d_latent, (z.table.shape, d_latent)
+            if NS > 1:
+                assert z.table.ndim == 3 and z.table.shape[0] == NS, (
+                    "multi-view fused gather needs per-view tables (NS, T, C)",
+                    z.table.shape,
+                    NS,
+                )
     else:
         total, D = zx.shape
         assert D == d_latent + d_in, (D, d_latent, d_in)
@@ -461,36 +606,71 @@ def resnetfc_pallas(
         point_args = (z_in, x_in)
         in_bytes = (z_in.size + x_in.size) * 2
     else:
-        x_in = _pad_last(x_part.reshape(NS, B, -1), d_in_pad, bf)
-        if pad_b:
-            x_in = jnp.pad(x_in, ((0, 0), (0, pad_b), (0, 0)))
-        if d_latent > 0:
-            z_in = z.reshape(NS, B, d_latent).astype(bf)
+        # multi-view: point-major column groups — all NS views of a point in
+        # one row, so blocks stay 2D (see _kernel_2d_mv)
+        def to_point_major(a, width):
+            a = a.reshape(NS, B, width).transpose(1, 0, 2)
+            a = a.reshape(B, NS * width)
             if pad_b:
-                z_in = jnp.pad(z_in, ((0, 0), (0, pad_b), (0, 0)))
-            d_lat_in = d_latent
-        else:
-            z_in = jnp.zeros((NS, B_pad, 128), bf)
-            d_lat_in = 128
-        kern = functools.partial(
-            _kernel,
-            NS=NS,
-            d_latent=d_latent,
-            n_blocks=n_blocks,
-            combine_layer=combine_layer,
-            planar_out=planar_out,
-            interpret=interpret,
+                a = jnp.pad(a, ((0, pad_b), (0, 0)))
+            return a
+
+        x_in = to_point_major(
+            _pad_last(x_part.reshape(NS * B, -1), d_in_pad, bf), d_in_pad
         )
-        in_specs = [
-            pl.BlockSpec(
-                (NS, BB, d_lat_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (NS, BB, d_in_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ]
-        point_args = (z_in, x_in)
-        in_bytes = (z_in.size + x_in.size) * 2
+        if isinstance(z, LatentGather):
+            idx_in = to_point_major(
+                _pad_last(z.idx.reshape(NS * B, -1), 8, jnp.int32), 8
+            )
+            w_in_taps = to_point_major(
+                _pad_last(z.w.reshape(NS * B, -1), 8, jnp.float32), 8
+            )
+            kern = functools.partial(
+                _kernel_2d_mv_gather,
+                NS=NS,
+                d_in_pad=d_in_pad,
+                n_blocks=n_blocks,
+                combine_layer=combine_layer,
+                planar_out=planar_out,
+                interpret=interpret,
+            )
+            in_specs = [
+                pl.BlockSpec((BB, NS * 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BB, NS * 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (BB, NS * d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # (NS, T, C) tables
+            ]
+            point_args = (idx_in, w_in_taps, x_in, z.table.astype(bf))
+            in_bytes = idx_in.size * 4 + w_in_taps.size * 4 + x_in.size * 2
+        else:
+            if d_latent > 0:
+                z_in = to_point_major(z.reshape(NS * B, d_latent).astype(bf), d_latent)
+                d_lat_in = d_latent
+            else:
+                z_in = jnp.zeros((B_pad, NS * 128), bf)
+                d_lat_in = 128
+            kern = functools.partial(
+                _kernel_2d_mv,
+                NS=NS,
+                d_latent=d_latent,
+                d_in_pad=d_in_pad,
+                n_blocks=n_blocks,
+                combine_layer=combine_layer,
+                planar_out=planar_out,
+                interpret=interpret,
+            )
+            in_specs = [
+                pl.BlockSpec(
+                    (BB, NS * d_lat_in), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (BB, NS * d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            point_args = (z_in, x_in)
+            in_bytes = (z_in.size + x_in.size) * 2
 
     if planar_out:
         out_spec = pl.BlockSpec(

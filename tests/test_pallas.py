@@ -225,3 +225,42 @@ def test_query_fused_gather_matches_dense_query():
             np.testing.assert_allclose(got, np.asarray(ref), atol=0.02)
     finally:
         rpmod.resnetfc_pallas = orig
+
+
+def test_pallas_mv_fused_gather_matches_dense():
+    """Multi-view LatentGather (point-major kernel, interpret) == dense XLA."""
+    from pixelnerf_tpu.ops.grid_sample import bilinear_taps
+
+    d_in, d_latent, d_hidden, n_blocks = 10, 64, 128, 3
+    NS, B, T = 3, 96, 48
+    model, params = _make(d_in, d_latent, d_hidden, n_blocks, combine_layer=2)
+    rng = np.random.default_rng(7)
+    tables = jnp.asarray(rng.normal(size=(NS, T, d_latent)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1.1, 1.1, size=(NS, B, 2)).astype(np.float32))
+    idx, w = bilinear_taps(uv, 6, 8)  # (NS, B, 4)
+    x_part = jnp.asarray(rng.normal(size=(NS * B, d_in)).astype(np.float32))
+
+    g = rp.LatentGather(tables, idx.reshape(NS * B, 4), w.reshape(NS * B, 4))
+    z_dense = rp.materialize_gather(g)  # (NS*B, C)
+
+    ref = model.apply(
+        {"params": params},
+        jnp.concatenate([z_dense, x_part], axis=-1),
+        combine_inner_dims=(NS, B),
+    )
+    for planar in (False, True):
+        out = rp.resnetfc_pallas(
+            params,
+            (g, x_part),
+            NS=NS,
+            d_latent=d_latent,
+            d_in=d_in,
+            n_blocks=n_blocks,
+            combine_layer=2,
+            interpret=True,
+            planar_out=planar,
+        )
+        got = np.asarray(out[0]).T if planar else np.asarray(out[0])
+        refn = np.asarray(ref[0] if ref.ndim == 3 else ref)
+        tol = 0.02 * max(float(np.abs(refn).max()), 1.0)
+        np.testing.assert_allclose(got, refn, atol=tol)
