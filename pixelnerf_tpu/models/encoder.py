@@ -117,15 +117,32 @@ class SpatialEncoder(nn.Module):
                 gx = uv[..., 0] * (w_l / w_img) * (2.0 / max(w_l - 1, 1)) - 1.0
                 gy = uv[..., 1] * (h_l / h_img) * (2.0 / max(h_l - 1, 1)) - 1.0
             grid = jnp.stack([gx, gy], axis=-1)
-            samples.append(
-                grid_sample(
-                    lat,
+            if self.index_interp == "bilinear":
+                # tap-decomposed gather: identical forward values, but the
+                # feature-table gradient is a one-hot MXU matmul rather than an
+                # XLA scatter (see ops.grid_sample.gather_taps; uv carries no
+                # trainable ancestors in this model family)
+                from ..ops.grid_sample import bilinear_taps, gather_taps
+
+                t_idx, t_w = bilinear_taps(
                     grid,
-                    align_corners=self.index_interp == "bilinear",
+                    h_l,
+                    w_l,
+                    align_corners=True,
                     padding_mode=self.index_padding,
-                    mode=self.index_interp,
                 )
-            )
+                flat = lat.reshape(lat.shape[0], h_l * w_l, -1)
+                samples.append(gather_taps(flat, t_idx, t_w))
+            else:
+                samples.append(
+                    grid_sample(
+                        lat,
+                        grid,
+                        align_corners=False,
+                        padding_mode=self.index_padding,
+                        mode=self.index_interp,
+                    )
+                )
         return jnp.concatenate(samples, axis=-1)
 
     def index_taps(self, lat: Array, uv: Array, image_shape: Tuple[float, float]):

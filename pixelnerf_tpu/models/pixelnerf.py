@@ -287,6 +287,7 @@ class PixelNeRFNet(nn.Module):
         viewdirs: Optional[Array] = None,
         coarse: bool = True,
         planar_out: bool = False,
+        compute_dtype=None,
     ) -> Array:
         """Predict (r, g, b, sigma) at world points.
 
@@ -294,6 +295,10 @@ class PixelNeRFNet(nn.Module):
         :param viewdirs: (SB, B, 3) if use_viewdirs
         :param planar_out: return channel-major (SB, 4, B) — the renderer's
             native layout (each channel a contiguous plane; see ResnetFC)
+        :param compute_dtype: cast the MLP inputs (latent + coordinate code) to
+            this dtype before the field MLP — with bf16 params this is the AMP
+            compute path (geometry/projection math stays f32; output returns
+            f32).  None keeps everything in the input dtype.
         :return: (SB, B, 4) with rgb in [0,1] (sigmoid) and sigma >= 0 (relu);
             (SB, 4, B) when ``planar_out``
         """
@@ -367,6 +372,13 @@ class PixelNeRFNet(nn.Module):
                     latent = self.encoder.index(latents, uv, scene.image_shape)
                 if self.stop_encoder_grad:
                     latent = jax.lax.stop_gradient(latent)
+                # offerable residual for rematerialized training: storing the
+                # sampled latent (~1 KB/point bf16) lets a save_only_these_names
+                # checkpoint policy skip replaying the HBM gather in backward
+                # while still rematerializing the MLP (trainer.make_step_fns)
+                from jax.ad_checkpoint import checkpoint_name
+
+                latent = checkpoint_name(latent, "pixel_latent")
 
         if self.use_global_encoder:
             g = scene.global_latent[:, None]  # (SB*NS, 1, C_g)
@@ -391,20 +403,28 @@ class PixelNeRFNet(nn.Module):
                 else latent[..., :0]
             )  # d_in == 0: zero-width code
         flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
+        if compute_dtype is not None:
+            flat_x = flat_x.astype(compute_dtype)
         if is_gather:
+            table = latent.table
+            if compute_dtype is not None:
+                table = table.astype(compute_dtype)
             flat_z = LatentGather(
-                latent.table,
+                table,
                 latent.idx.reshape(-1, 4),
                 latent.w.reshape(-1, 4),
             )
         elif latent is not None:
             flat_z = latent.reshape(-1, latent.shape[-1])
+            if compute_dtype is not None:
+                flat_z = flat_z.astype(compute_dtype)
         else:
             flat_z = None
         arg = (flat_z, flat_x) if flat_z is not None else flat_x
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("mlp_forward"):
             out = mlp(arg, combine_inner_dims=(NS, B), planar_out=planar_out)
+        out = out.astype(jnp.float32)
 
         if planar_out:
             # (1, d_out, SB*B) -> (SB, d_out, B); free when SB == 1

@@ -14,9 +14,103 @@ exact configuration surface of the reference encoder (encoder.py:23-26,51-55).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+# feature tables up to this many rows backprop via a chunked one-hot matmul
+# (MXU); larger tables fall back to XLA scatter-add
+_ONEHOT_BWD_MAX_ROWS = 4096
+_ONEHOT_BWD_CHUNK = 1 << 17
+
+
+@jax.custom_vjp
+def gather_taps(flat: Array, idx: Array, w: Array) -> Array:
+    """Weighted tap gather: ``out[b,n] = sum_j w[b,n,j] * flat[b, idx[b,n,j]]``.
+
+    The forward is the standard bilinear 4-tap lookup (use
+    :func:`bilinear_taps` to build idx/w from normalized uv).  The backward
+    treats the tap WEIGHTS as frozen (zero cotangent) — valid here because uv
+    is always a camera projection of non-trainable inputs (poses/focal/ray
+    points are data in every pixelNeRF recipe; the reference's grid_sample
+    grid-gradients are computed but never reach a parameter).  In exchange the
+    feature-table gradient becomes a chunked one-hot MATMUL on the MXU instead
+    of an XLA scatter-add (which dominates the naive train step backward).
+    """
+    return _gather_taps_fwd(flat, idx, w)[0]
+
+
+def _gather_taps_fwd(flat, idx, w):
+    out = None
+    for j in range(idx.shape[-1]):
+        v = jnp.take_along_axis(flat, idx[..., j][..., None], axis=1)
+        v = v * w[..., j][..., None].astype(flat.dtype)
+        out = v if out is None else out + v
+    # residuals hold a zero-width stub of the feature table purely for its
+    # shape/dtype — a dtype object itself is not a valid jax residual under
+    # checkpointing
+    return out, (jnp.zeros_like(flat, shape=flat.shape[:2] + (0,)), idx, w)
+
+
+def _gather_taps_bwd(res, g):
+    flat_stub, idx, w = res
+    flat_dtype = flat_stub.dtype
+    B, T = flat_stub.shape[:2]
+    C = g.shape[-1]
+    n_taps = idx.shape[-1]
+    g = g.astype(jnp.float32)
+
+    if T <= _ONEHOT_BWD_MAX_ROWS:
+        def per_view(idx_b, w_b, g_b):
+            N = idx_b.shape[0]
+            chunk = min(_ONEHOT_BWD_CHUNK, N)
+            n_chunks = -(-N // chunk)
+            pad = n_chunks * chunk - N
+            idx_p = jnp.pad(idx_b, ((0, pad), (0, 0)), constant_values=0)
+            # zero weights on padding -> padded rows contribute nothing
+            w_p = jnp.pad(w_b, ((0, pad), (0, 0)))
+            g_p = jnp.pad(g_b, ((0, pad), (0, 0)))
+
+            def one(args):
+                ic, wc, gc = args
+                iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, T), 1)
+                S = jnp.zeros((chunk, T), jnp.float32)
+                for j in range(n_taps):
+                    S = S + (
+                        jnp.where(iota == ic[:, j : j + 1], 1.0, 0.0)
+                        * wc[:, j : j + 1]
+                    )
+                return jnp.dot(
+                    S.T.astype(jnp.bfloat16),
+                    gc.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+
+            parts = jax.lax.map(
+                one,
+                (
+                    idx_p.reshape(n_chunks, chunk, n_taps),
+                    w_p.reshape(n_chunks, chunk, n_taps),
+                    g_p.reshape(n_chunks, chunk, -1),
+                ),
+            )
+            return jnp.sum(parts, axis=0)
+
+        d_flat = jax.vmap(per_view)(idx, w, g)
+    else:
+        d_flat = jnp.zeros((B, T, C), jnp.float32)
+        for j in range(n_taps):
+            d_flat = d_flat.at[
+                jnp.arange(B)[:, None], idx[..., j]
+            ].add(g * w[..., j][..., None])
+
+    return d_flat.astype(flat_dtype), None, jnp.zeros_like(w)
+
+
+gather_taps.defvjp(_gather_taps_fwd, _gather_taps_bwd)
 
 
 def _unnormalize(coord: Array, size: int, align_corners: bool) -> Array:

@@ -138,9 +138,11 @@ def make_step_fns(
     rgb_fine_crit: Callable,
     use_viewdirs: bool,
     amp: bool = True,
+    remat: bool = True,
 ):
     """Build jitted (train_step, eval_step).  ``amp=True`` keeps TPU-default
-    bf16 matmuls (the AMP equivalent); False forces fp32 everywhere."""
+    bf16 matmuls (the AMP equivalent); False forces fp32 everywhere.
+    ``remat`` checkpoints the field evaluation (recompute-in-backward)."""
     # training/eval batches are small (ray_batch_size rays); inner point
     # chunking (sized for huge eval renders) would only serialize the MXU
     render_cfg = dataclasses.replace(render_cfg, eval_batch_size=0)
@@ -179,18 +181,63 @@ def make_step_fns(
             )
             new_batch_stats = batch_stats
 
-        qvars = {"params": params, "batch_stats": new_batch_stats}
+        # The torch-AMP equivalent: the field MLP runs with bf16 operands
+        # (params cast per-step from the f32 masters — the cast's transpose
+        # accumulates gradients back to f32, so no GradScaler is needed with
+        # bf16's fp32-sized exponent).  Geometry, compositing, and the loss
+        # stay f32; "default" matmul precision on f32 operands alone would
+        # still run the slow multi-pass f32 MXU path.
+        if amp:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+            qvars = {"params": cast(params), "batch_stats": new_batch_stats}
+            scene_f = scene.replace(latents=cast(scene.latents))
+            field_dtype = jnp.bfloat16
+        else:
+            qvars = {"params": params, "batch_stats": new_batch_stats}
+            scene_f = scene
+            field_dtype = None
 
-        def field(points, viewdirs, coarse):
+        def _field_impl(points, viewdirs, coarse):
             return net.apply(
                 qvars,
-                scene,
+                scene_f,
                 points,
                 viewdirs=viewdirs if use_viewdirs else None,
                 coarse=coarse,
                 planar_out=True,
+                compute_dtype=field_dtype,
                 method=PixelNeRFNet.query,
             )
+
+        # Rematerialize the field in the backward pass: storing every MLP-layer
+        # activation for rays x samples x views points costs ~2 GB/layer per
+        # 1k-ray object batch (OOMs a 16 GB chip at ray_batch_size 1024); with
+        # checkpointing only the (points -> rgbsigma) boundary is saved and the
+        # layers are recomputed — the standard HBM-for-FLOPs trade on TPU.
+        if remat:
+            # keep the sampled pixel latent as a stored residual — replaying
+            # the scattered HBM feature gather costs more than the ~1 KB/point
+            # it saves; everything else (the MLP tower) rematerializes
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "pixel_latent"
+            )
+            field_c = jax.checkpoint(
+                lambda p, v: _field_impl(p, v, True), policy=policy
+            )
+            field_f = jax.checkpoint(
+                lambda p, v: _field_impl(p, v, False), policy=policy
+            )
+
+            def field(points, viewdirs, coarse):
+                return (field_c if coarse else field_f)(points, viewdirs)
+
+        else:
+            field = _field_impl
 
         out = render_rays(
             field,
@@ -383,6 +430,7 @@ class Trainer:
         self.num_epochs = args.epochs
         self.accu_grad = tc("accu_grad", 1)
         self.use_amp = getattr(args, "use_amp", tc("use_amp", True))
+        self.remat = getattr(args, "remat", tc("remat", True))
         self.grad_clip = getattr(args, "grad_clip", tc("grad_clip", 0.0))
         self.check_gradients = getattr(
             args, "check_gradients", tc("check_gradients", False)
@@ -480,6 +528,7 @@ class Trainer:
             crit_f,
             self.use_viewdirs,
             amp=self.use_amp,
+            remat=self.remat,
         )
         if mesh is not None:
             self._train_step, self._eval_step = self._shard_steps(
@@ -616,6 +665,7 @@ class Trainer:
                 self._crit_f,
                 self.use_viewdirs,
                 amp=self.use_amp,
+                remat=self.remat,
             )
             if self.mesh is not None:
                 self._train_step, self._eval_step = self._shard_steps(
