@@ -299,6 +299,23 @@ def main():
         if not args.no_compare_gt:
             images_0to1 = images * 0.5 + 0.5
             rgb_gt_all = images_0to1[target_view_mask]
+            if rgb_gt_all.shape[1:3] != all_rgb.shape[1:3]:
+                # scaled render (--scale != 1): compare against GT resized to
+                # the render resolution (the reference crashes here and makes
+                # users pass --no_compare_gt + calc_metrics; resizing is the
+                # same comparison calc_metrics.py performs)
+                import cv2
+
+                rgb_gt_all = np.stack(
+                    [
+                        cv2.resize(
+                            g,
+                            (all_rgb.shape[2], all_rgb.shape[1]),
+                            interpolation=cv2.INTER_AREA,
+                        )
+                        for g in rgb_gt_all
+                    ]
+                )
             for view_idx in range(n_gen_views):
                 curr_ssim += metrics.ssim(
                     all_rgb[view_idx], rgb_gt_all[view_idx], data_range=1.0

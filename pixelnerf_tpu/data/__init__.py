@@ -16,6 +16,7 @@ from .multi_obj import MultiObjectDataset
 from .srn import SRNDataset
 from .synthetic import (
     SyntheticDataset,
+    write_synthetic_dtu,
     write_synthetic_dvr,
     write_synthetic_multi_obj,
     write_synthetic_srn,
@@ -30,6 +31,7 @@ __all__ = [
     "SRNDataset",
     "SyntheticDataset",
     "get_split_dataset",
+    "write_synthetic_dtu",
     "write_synthetic_dvr",
     "write_synthetic_multi_obj",
     "write_synthetic_srn",

@@ -125,7 +125,18 @@ class DVRDataset(BaseDataset):
         images, poses, masks, bboxes = [], [], [], []
         focals, cs = [], []
         for i, img_path in enumerate(img_paths):
-            img = load_image(img_path, size=self.image_size)
+            img = load_image(img_path)
+            H0, W0 = img.shape[:2]
+            if self.image_size is not None and (H0, W0) != tuple(self.image_size):
+                import cv2
+
+                img = (
+                    cv2.resize(
+                        img,
+                        (self.image_size[1], self.image_size[0]),
+                        interpolation=cv2.INTER_AREA,
+                    ).astype(np.float32)
+                )
             H, W = img.shape[:2]
 
             idx = int(os.path.splitext(os.path.basename(img_path))[0])
@@ -144,9 +155,11 @@ class DVRDataset(BaseDataset):
                 fy = fy * H / 2.0
                 cx = cx * W / 2.0 + W / 2.0
                 cy = cy * H / 2.0 + H / 2.0
-            elif self.image_size is not None:
-                # DTU images resized: rescale intrinsics accordingly
-                pass
+            elif (H, W) != (H0, W0):
+                # resized on load (e.g. DTU): projection K is in original pixel
+                # units — rescale to the loaded resolution
+                fx, cx = fx * W / W0, cx * W / W0
+                fy, cy = fy * H / H0, cy * H / H0
 
             if mask_paths is not None and i < len(mask_paths):
                 mask = load_mask(mask_paths[i], size=self.image_size)

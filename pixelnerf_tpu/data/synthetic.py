@@ -148,6 +148,64 @@ def write_synthetic_dvr(
     return out_dir
 
 
+def write_synthetic_dtu(
+    out_dir: str,
+    n_scenes: int = 2,
+    n_views: int = 8,
+    image_size: Tuple[int, int] = (75, 100),
+    seed: int = 0,
+) -> str:
+    """Write a DTU-style (rs_dtu_4) dataset: scan directories directly under
+    datadir, pixel-unit CV projections ``world_mat_N`` with a ``scale_mat_N``
+    normalization, `mask/` images, and a ``new_val.lst`` split."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    H, W = image_size
+    focal = 0.9 * W
+    scene_names = []
+    for si in range(n_scenes):
+        name = f"scan{si + 1}"
+        scene_names.append(name)
+        scene_dir = os.path.join(out_dir, name)
+        img_dir = os.path.join(scene_dir, "image")
+        mask_dir = os.path.join(scene_dir, "mask")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(mask_dir, exist_ok=True)
+        params = _object_params(rng)
+        poses = _camera_ring(n_views, radius=1.6, seed=seed * 77 + si)
+        # DTU scenes live in an arbitrary world frame; scale_mat maps the
+        # normalized frame back to it (P_norm = world_mat @ scale_mat)
+        s = 2.5
+        shift = np.array([0.3, -0.2, 0.1], np.float64)
+        scale_mat = np.eye(4, dtype=np.float64)
+        scale_mat[:3, :3] *= 1.0 / s
+        scale_mat[:3, 3] = -shift / s
+        inv_scale = np.linalg.inv(scale_mat)
+        cams = {}
+        K = np.array(
+            [[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1]], np.float64
+        )
+        for vi in range(n_views):
+            img = render_sphere_image(poses[vi], W, H, focal, **params)
+            _save_png(os.path.join(img_dir, f"{vi:06d}.png"), img)
+            mask = (np.linalg.norm(img - img[0, 0], axis=-1) > 0.02).astype(
+                np.float32
+            )
+            _save_png(os.path.join(mask_dir, f"{vi:06d}.png"), mask[..., None].repeat(3, -1))
+            w2c_gl = np.linalg.inv(poses[vi].astype(np.float64))
+            w2c_cv = np.diag([1.0, -1.0, -1.0, 1.0]) @ w2c_gl
+            P_pix = K @ w2c_cv[:3, :4]  # projection in the normalized frame
+            # store the un-normalized projection; loaders recover P_pix via
+            # world_mat @ scale_mat
+            cams[f"world_mat_{vi}"] = (P_pix @ inv_scale).astype(np.float32)
+            cams[f"scale_mat_{vi}"] = scale_mat.astype(np.float32)
+        np.savez(os.path.join(scene_dir, "cameras.npz"), **cams)
+
+    with open(os.path.join(out_dir, "new_val.lst"), "w") as f:
+        f.write("\n".join(scene_names) + "\n")
+    return out_dir
+
+
 def write_synthetic_srn(
     out_dir: str,
     n_objs: int = 2,

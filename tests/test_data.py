@@ -165,3 +165,53 @@ def test_collate_and_loader():
     loader.set_epoch(0)
     ids0b = [tuple(b["img_id"]) for b in loader]
     assert ids0 == ids0b and ids0 != ids1
+
+
+def test_dtu_dataset_roundtrip(tmp_path):
+    """dvr_dtu loader: scale_mat normalization, new_val.lst split, pixel-unit
+    intrinsics, and intrinsic rescale when images are loaded resized."""
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.data.synthetic import write_synthetic_dtu
+    from pixelnerf_tpu.utils import geometry
+
+    root = write_synthetic_dtu(str(tmp_path / "dtu"), n_scenes=2, n_views=6)
+    dset = get_split_dataset("dvr_dtu", root, want_split="val", training=False)
+    assert len(dset) == 2
+    d = dset[0]
+    NV = 6
+    assert d["images"].shape[0] == NV
+    H, W = d["images"].shape[1:3]
+    assert (H, W) == (75, 100)
+    assert d["poses"].shape == (NV, 4, 4)
+    assert d["masks"].shape[0] == NV
+    assert dset.z_near == 0.1 and dset.z_far == 5.0
+
+    # cameras must live on the ring in the NORMALIZED frame (radius 1.6):
+    # scale_mat undoes the arbitrary world scale/shift the writer applied
+    centers = d["poses"][:, :3, 3]
+    rad = np.linalg.norm(centers, axis=-1)
+    np.testing.assert_allclose(rad, 1.6, atol=1e-3)
+
+    # intrinsics: focal 0.9*W, principal point at center (per-view (1,2) or scalar)
+    f = np.asarray(d["focal"]).reshape(-1)
+    np.testing.assert_allclose(np.abs(f), 0.9 * 100, rtol=1e-3)
+    c = np.asarray(d["c"]).reshape(-1, 2)
+    np.testing.assert_allclose(c[0], [50.0, 37.5], atol=0.2)
+
+    # projecting the sphere center (origin in normalized frame) must land in
+    # the image interior for every view
+    for v in range(NV):
+        w2c = np.linalg.inv(d["poses"][v])
+        p_cam = w2c[:3, 3]
+        uv = -p_cam[:2] / p_cam[2] * np.array([f[0], -f[0] if f.size == 1 else -f[-1]])
+        uv = uv + c[0]
+        assert 10 < uv[0] < 90 and 10 < uv[1] < 65, (v, uv)
+
+    # resized load rescales the intrinsics
+    dset_small = get_split_dataset(
+        "dvr_dtu", root, want_split="val", training=False, image_size=(38, 50)
+    )
+    d2 = dset_small[0]
+    assert d2["images"].shape[1:3] == (38, 50)
+    f2 = np.asarray(d2["focal"]).reshape(-1)
+    np.testing.assert_allclose(f2[0], f[0] * 0.5, rtol=1e-3)
