@@ -172,6 +172,7 @@ class SpatialEncoder(nn.Module):
             w_l,
             align_corners=True,
             padding_mode=self.index_padding,
+            pad_taps_to=8,  # the fused kernel's lane-padded tap width
         )
 
     @classmethod

@@ -411,8 +411,8 @@ class PixelNeRFNet(nn.Module):
                 table = table.astype(compute_dtype)
             flat_z = LatentGather(
                 table,
-                latent.idx.reshape(-1, 4),
-                latent.w.reshape(-1, 4),
+                latent.idx.reshape(-1, latent.idx.shape[-1]),
+                latent.w.reshape(-1, latent.w.shape[-1]),
             )
         elif latent is not None:
             flat_z = latent.reshape(-1, latent.shape[-1])

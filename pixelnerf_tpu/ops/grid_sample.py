@@ -234,6 +234,7 @@ def bilinear_taps(
     width: int,
     align_corners: bool = True,
     padding_mode: str = "border",
+    pad_taps_to: int = 0,
 ):
     """Decompose a bilinear grid_sample into its 4 (index, weight) taps.
 
@@ -287,16 +288,17 @@ def bilinear_taps(
         w10 = w10 * in_x0 * in_y1
         w11 = w11 * in_x1 * in_y1
 
-    idx = jnp.stack(
-        [
-            y0c * W + x0c,
-            y0c * W + x1c,
-            y1c * W + x0c,
-            y1c * W + x1c,
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
-    w = jnp.stack([w00, w01, w10, w11], axis=-1)
+    idx_list = [y0c * W + x0c, y0c * W + x1c, y1c * W + x0c, y1c * W + x1c]
+    w_list = [w00, w01, w10, w11]
+    if pad_taps_to > 4:
+        # stack straight into the kernel's lane-padded width (weight 0 ->
+        # padding rows contribute nothing); avoids a later pad relayout
+        zero_i = jnp.zeros_like(idx_list[0])
+        zero_w = jnp.zeros_like(w_list[0])
+        idx_list += [zero_i] * (pad_taps_to - 4)
+        w_list += [zero_w] * (pad_taps_to - 4)
+    idx = jnp.stack(idx_list, axis=-1).astype(jnp.int32)
+    w = jnp.stack(w_list, axis=-1)
     return idx, w
 
 
