@@ -92,3 +92,74 @@ def test_resize_bilinear_matches_torch():
     )
     ref = ref.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_gather_taps_gradient_matches_take_along_axis():
+    """The custom-vjp matmul gradient must equal the scatter gradient of the
+    plain take_along_axis formulation (table cotangent; tap weights frozen)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_tpu.ops.grid_sample import bilinear_taps, gather_taps
+
+    rng = np.random.default_rng(3)
+    B, T, C, N = 2, 35, 6, 64
+    flat = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1.2, 1.2, size=(B, N, 2)).astype(np.float32))
+    idx, w = bilinear_taps(uv, 5, 7, padding_mode="zeros")
+    g_out = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    def ref_fn(flat):
+        out = None
+        for j in range(4):
+            v = jnp.take_along_axis(flat, idx[..., j][..., None], axis=1)
+            v = v * w[..., j][..., None]
+            out = v if out is None else out + v
+        return jnp.sum(out * g_out)
+
+    def fused_fn(flat):
+        return jnp.sum(gather_taps(flat, idx, w) * g_out)
+
+    np.testing.assert_allclose(
+        float(fused_fn(flat)), float(ref_fn(flat)), rtol=1e-5
+    )
+    g_ref = jax.grad(ref_fn)(flat)
+    g_fused = jax.grad(fused_fn)(flat)
+    # bf16 matmul accumulation in the one-hot path -> loose-ish tolerance
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), atol=2e-2, rtol=2e-2
+    )
+    # weights are frozen by design: zero cotangent
+    gw = jax.grad(lambda w_: jnp.sum(gather_taps(flat, idx, w_) * g_out))(w)
+    assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+
+def test_gather_taps_scatter_fallback_gradient():
+    """Tables above the one-hot threshold use the scatter path — same grad."""
+    import jax
+    import jax.numpy as jnp
+
+    import importlib
+
+    gsm = importlib.import_module("pixelnerf_tpu.ops.grid_sample")
+
+    rng = np.random.default_rng(4)
+    B, T, C, N = 1, 30, 4, 40
+    flat = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, size=(B, N, 4)), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    def loss(flat):
+        return jnp.sum(gsm.gather_taps(flat, idx, w) * g_out)
+
+    g_matmul = jax.grad(loss)(flat)
+    orig = gsm._ONEHOT_BWD_MAX_ROWS
+    gsm._ONEHOT_BWD_MAX_ROWS = 0  # force scatter fallback
+    try:
+        g_scatter = jax.grad(loss)(flat)
+    finally:
+        gsm._ONEHOT_BWD_MAX_ROWS = orig
+    np.testing.assert_allclose(
+        np.asarray(g_matmul), np.asarray(g_scatter), atol=2e-2, rtol=2e-2
+    )
