@@ -39,7 +39,8 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     conf = hocon.parse_file(os.path.join(here, "conf", "exp", "sn64.conf"))
-    mlp_impl = "pallas" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
+    # "auto": fused Pallas kernel on TPU, plain XLA elsewhere (CPU dry runs)
+    mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)
 
     ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
@@ -69,12 +70,22 @@ def main():
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], eval_batch_size=1_000_000
     )
-    # measured on v5e-lite: matmul rate is dtype-independent (~66 TFLOP/s) and
-    # the casts cost ~5%, so f32 is the default here
+    # measured: matmul rate is dtype-independent on this part and the casts
+    # cost ~5%, so f32 inputs are the default (the fused kernel computes in
+    # bf16 with f32 accumulation regardless)
     use_bf16 = os.environ.get("BENCH_BF16", "0") != "0"
+    # on a multi-chip host, shard the ray axis over all local chips (the
+    # metric is rays/sec/chip, so the reported value divides by chip count)
+    mesh = None
+    n_chips = len(jax.devices())
+    if n_chips > 1:
+        from pixelnerf_tpu.parallel import make_ray_mesh
+
+        mesh = make_ray_mesh()
     pipeline = RenderPipeline(
         net,
         renderer,
+        mesh=mesh,
         compute_dtype=_jnp.bfloat16 if use_bf16 else None,
     )
 
@@ -114,7 +125,7 @@ def main():
     dt = time.perf_counter() - t0
     assert all(np.isfinite(rgb).all() for rgb, _ in outs)
 
-    rays_per_sec = n_timed * rays.shape[0] / dt
+    rays_per_sec = n_timed * rays.shape[0] / dt / n_chips
     print(
         json.dumps(
             {
