@@ -261,8 +261,11 @@ class PixelNeRFNet(nn.Module):
         if self.mlp_impl not in ("pallas", "auto"):
             return False
         if isinstance(latents, (list, tuple)):
+            # raw multi-scale pyramid (no fusion): per-scale tables of mixed
+            # resolutions — dense path. With smart fusion the pyramid is
+            # already fused into ONE map and qualifies like single-scale.
             return False
-        if self.use_global_encoder or self.is_multi_scale:
+        if self.use_global_encoder:
             return False
         if latents.shape[0] != NS:  # requires SB == 1 (one table set in VMEM)
             return False
