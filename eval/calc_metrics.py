@@ -58,7 +58,12 @@ parser.add_argument(
 )
 args = parser.parse_args()
 
-if args.dataset_format == "dvr":
+if args.dataset_format in ("dvr", "dvr_gen", "dvr_dtu"):
+    # dvr_gen/dvr_dtu share the DVR on-disk layout (the reference expects
+    # plain "dvr" here, calc_metrics.py:38-44; accepting the specific format
+    # names avoids a confusing failure when reusing the eval.py -F value)
+    if args.dataset_format == "dvr_dtu" and args.list_name == "softras_test":
+        args.list_name = "new_val"
     list_name = args.list_name + ".lst"
     img_dir_name = "image"
 elif args.dataset_format == "srn":
@@ -207,6 +212,21 @@ def run_map():
             pred = (
                 imageio.imread(im_rend_path).astype(np.float32)[..., :3] / 255.0
             )
+            if pred.shape != gt.shape:
+                # renders produced with eval.py --scale: compare at the render
+                # resolution (matches eval.py's own scaled GT comparison)
+                from PIL import Image
+
+                gt = (
+                    np.asarray(
+                        Image.fromarray(
+                            (gt * 255.0).astype(np.uint8)
+                        ).resize(
+                            (pred.shape[1], pred.shape[0]), Image.BILINEAR
+                        )
+                    ).astype(np.float32)
+                    / 255.0
+                )
             psnr_avg += M.psnr(pred, gt)
             ssim_avg += M.ssim(pred, gt, data_range=1.0)
             gts.append(gt * 2.0 - 1.0)

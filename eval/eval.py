@@ -290,7 +290,11 @@ def main():
                     base = os.path.join(
                         obj_out_dir, "{:06}".format(int(novel_view_idxs[i]))
                     )
-                    cv2.imwrite(base + "_depth.exr", all_depth[i])
+                    try:
+                        cv2.imwrite(base + "_depth.exr", all_depth[i])
+                    except cv2.error:
+                        # cv2 built without OpenEXR: keep raw depth as .npy
+                        np.save(base + "_depth.npy", all_depth[i])
                     imageio.imwrite(
                         base + "_depth_norm.png", metrics.cmap(all_depth[i])
                     )

@@ -689,6 +689,11 @@ def resnetfc_pallas(
         in_specs=in_specs + weight_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        # The default 16 MB scoped-VMEM budget is too tight once the resident
+        # weights (+ per-view lin_in/lin_z stacks and latent tables at NS=3,
+        # e.g. the DTU 3-view recipe) share it with the result buffer XLA
+        # stack-allocates in VMEM; the chip has 128 MB of VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * NS * B_pad,
             bytes_accessed=in_bytes + B_pad * d_out_pad * 4,
