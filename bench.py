@@ -38,7 +38,13 @@ def main():
     from pixelnerf_tpu.utils import geometry
 
     here = os.path.dirname(os.path.abspath(__file__))
-    conf = hocon.parse_file(os.path.join(here, "conf", "exp", "sn64.conf"))
+    conf_name = os.environ.get("BENCH_CONF", "sn64")
+    conf_path = (
+        conf_name
+        if os.sep in conf_name
+        else os.path.join(here, "conf", "exp", f"{conf_name}.conf")
+    )
+    conf = hocon.parse_file(conf_path)
     # "auto": fused Pallas kernel on TPU, plain XLA elsewhere (CPU dry runs)
     mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)

@@ -292,6 +292,39 @@ def make_step_fns(
     return jax.jit(train_step), jax.jit(eval_step)
 
 
+_PREFETCH_END = object()
+
+
+def _prefetch(gen, depth: int = 2):
+    """Run `gen` on a daemon thread, keeping up to `depth` items queued.
+
+    Host-side batch prep (ray sampling is numpy) and the H2D upload overlap
+    the device step of the previous batch; exceptions re-raise in the
+    consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in gen:
+                q.put((True, item))
+        except BaseException as e:  # propagate to consumer
+            q.put((False, e))
+            return
+        q.put((True, _PREFETCH_END))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        ok, item = q.get()
+        if not ok:
+            raise item
+        if item is _PREFETCH_END:
+            return
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint manager (fork scheme: epoch_%04d / latest / best + retention)
 # ---------------------------------------------------------------------------
@@ -726,41 +759,64 @@ class Trainer:
             return float(self._schedule(int(self.global_step)))
         return float(self._schedule)
 
+    def _train_batches(self):
+        """Producer: load + host-side ray sampling + async H2D upload for one
+        epoch pass.  Runs on a prefetch thread so prep of batch N+1 overlaps
+        device compute of batch N."""
+        for batch_idx, data in enumerate(self.train_loader):
+            batch = self._prep(data, is_train=True)
+            if batch is None:
+                continue
+            yield batch_idx, {k: jnp.asarray(v) for k, v in batch.items()}
+
     def train_epoch(self) -> Dict[str, float]:
         t_start = time.time()
         n_batches = 0
-        last: Dict[str, float] = {}
+        last: Dict[str, Any] = {}
         for _ in range(self.num_epoch_repeats):
             self.train_loader.set_epoch(self.epoch)
-            for batch_idx, data in enumerate(self.train_loader):
-                loss_dict = self.train_step(data)
-                if loss_dict is None:
-                    continue
+            for batch_idx, batch in _prefetch(self._train_batches()):
+                if (
+                    self.use_bbox
+                    and self.global_step
+                    >= getattr(self.args, "no_bbox_step", 100000)
+                ):
+                    # flip takes effect on batches prepped after this point
+                    # (prefetch depth may delay it by <= 2 steps)
+                    self.use_bbox = False
+                    print(
+                        ">>> Stopped using bbox sampling @ iter",
+                        self.global_step,
+                    )
+                self.jrng, step_rng = jax.random.split(self.jrng)
+                # async dispatch: losses stay on device; only the steps that
+                # get printed/logged force a host fetch
+                self.state, loss_dict = self._train_step(
+                    self.state, batch, step_rng
+                )
                 self.global_step += 1
                 n_batches += 1
                 last = loss_dict
-                if (
-                    self.writer is not None
-                    and self.global_step % self.print_interval == 0
-                ):
-                    for k, v in loss_dict.items():
-                        self.writer.add_scalar(
-                            f"train/{k}", v, self.global_step
-                        )
-                    self.writer.add_scalar(
-                        "train/lr", self.current_lr(), self.global_step
-                    )
                 if self.global_step % self.print_interval == 0:
+                    floats = {k: float(v) for k, v in loss_dict.items()}
+                    if self.writer is not None:
+                        for k, v in floats.items():
+                            self.writer.add_scalar(
+                                f"train/{k}", v, self.global_step
+                            )
+                        self.writer.add_scalar(
+                            "train/lr", self.current_lr(), self.global_step
+                        )
                     s_it = (time.time() - t_start) / max(n_batches, 1)
                     items = " ".join(
-                        f"{k}:{v:.5f}" for k, v in loss_dict.items()
+                        f"{k}:{v:.5f}" for k, v in floats.items()
                     )
                     print(
                         f"E{self.epoch} B{batch_idx} {items} "
                         f"lr:{self.current_lr():.2e} {s_it:.2f}s/it"
                     )
                 self.post_batch(self.epoch, batch_idx)
-        return last
+        return {k: float(v) for k, v in last.items()}
 
     def validate(self) -> float:
         losses = []
