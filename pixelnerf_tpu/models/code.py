@@ -45,21 +45,38 @@ class PositionalEncoding:
     def _encode(self, x: Array) -> Array:
         if self.num_freqs == 0:
             return x if self.include_input else x[..., :0]
-        freqs = self.freq_factor * (
-            2.0 ** jnp.arange(self.num_freqs, dtype=jnp.float32)
+        # Flat formulation: one (d_in, d_out) channel-select matmul + fused
+        # elementwise sin, instead of a (..., 2F, d_in) broadcast + reshape —
+        # the 3D intermediate with a thin (d_in=3) minor dim needs an XLA
+        # relayout before the reshape, while the matmul emits the interleaved
+        # layout directly and the sin/select fuse into the consumer.  Layout
+        # identical to the reference phase trick (code.py:21-28):
+        # [x (if include_input), sin(f0 x), cos(f0 x), sin(f1 x), ...].
+        import numpy as np
+
+        d_in, F = self.d_in, self.num_freqs
+        n_head = d_in if self.include_input else 0
+        d_out = self.d_out
+        sel = np.zeros((d_in, d_out), np.float32)
+        fcol = np.zeros((d_out,), np.float32)
+        pcol = np.zeros((d_out,), np.float32)
+        if n_head:
+            sel[:, :d_in] = np.eye(d_in, dtype=np.float32)
+        for k in range(2 * F):
+            f = self.freq_factor * 2.0 ** (k // 2)
+            p = 0.0 if k % 2 == 0 else 0.5 * math.pi
+            c0 = n_head + k * d_in
+            sel[:, c0 : c0 + d_in] = np.eye(d_in, dtype=np.float32)
+            fcol[c0 : c0 + d_in] = f
+            pcol[c0 : c0 + d_in] = p
+        xg = jnp.einsum(
+            "...i,io->...o", x, jnp.asarray(sel), precision="highest"
         )
-        # (2F,) interleave each frequency twice, phases 0 / pi/2 -> sin / cos
-        freqs2 = jnp.repeat(freqs, 2)  # [f0, f0, f1, f1, ...]
-        phases = jnp.tile(
-            jnp.array([0.0, 0.5 * math.pi], dtype=jnp.float32), self.num_freqs
-        )
-        # x: (..., d_in) -> (..., 2F, d_in)
-        embed = x[..., None, :] * freqs2[:, None] + phases[:, None]
-        embed = jnp.sin(embed)
-        embed = embed.reshape(x.shape[:-1] + (2 * self.num_freqs * self.d_in,))
-        if self.include_input:
-            embed = jnp.concatenate([x, embed], axis=-1)
-        return embed
+        enc = jnp.sin(xg * jnp.asarray(fcol) + jnp.asarray(pcol))
+        if n_head:
+            head = jnp.zeros((d_out,), np.float32).at[:d_in].set(1.0)
+            enc = jnp.where(head > 0, xg, enc)
+        return enc
 
     @classmethod
     def from_conf(cls, conf, d_in: int = 3) -> "PositionalEncoding":
