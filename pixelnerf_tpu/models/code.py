@@ -42,6 +42,41 @@ class PositionalEncoding:
         "positional_enc" scope (reference code.py:40 cut point)"""
         return self._scoped(self._encode)(x)
 
+    def flat_arrays(self, tail: int = 0):
+        """Numpy ``(W (d_in+tail, d_out+tail), f, p, m)`` such that the encoding
+        of ``[x, t]`` (x the coded channels, t `tail` passthrough channels
+        appended AFTER the code block, e.g. raw viewdirs) is
+
+            xg = [x, t] @ W;  enc = where(m, sin(xg * f + p), xg)
+
+        Output layout: ``[x (if include_input), sin(f0 x), cos(f0 x), ...,
+        sin(f_{F-1} x), cos(f_{F-1} x), t]`` — the reference phase-trick layout
+        (code.py:21-28) with the tail concatenated last (backup2:193-205).
+        The fused Pallas field kernel evaluates this form in-register so the
+        encoded features never round-trip through HBM."""
+        import numpy as np
+
+        d_in, F = self.d_in, self.num_freqs
+        n_head = d_in if self.include_input else 0
+        d_out = self.d_out + tail
+        W = np.zeros((d_in + tail, d_out), np.float32)
+        fcol = np.ones((d_out,), np.float32)
+        pcol = np.zeros((d_out,), np.float32)
+        mcol = np.zeros((d_out,), np.float32)
+        if n_head:
+            W[:d_in, :d_in] = np.eye(d_in, dtype=np.float32)
+        for k in range(2 * F):
+            f = self.freq_factor * 2.0 ** (k // 2)
+            p = 0.0 if k % 2 == 0 else 0.5 * math.pi
+            c0 = n_head + k * d_in
+            W[:d_in, c0 : c0 + d_in] = np.eye(d_in, dtype=np.float32)
+            fcol[c0 : c0 + d_in] = f
+            pcol[c0 : c0 + d_in] = p
+            mcol[c0 : c0 + d_in] = 1.0
+        if tail:
+            W[d_in:, self.d_out :] = np.eye(tail, dtype=np.float32)
+        return W, fcol, pcol, mcol
+
     def _encode(self, x: Array) -> Array:
         if self.num_freqs == 0:
             return x if self.include_input else x[..., :0]
@@ -49,33 +84,16 @@ class PositionalEncoding:
         # elementwise sin, instead of a (..., 2F, d_in) broadcast + reshape —
         # the 3D intermediate with a thin (d_in=3) minor dim needs an XLA
         # relayout before the reshape, while the matmul emits the interleaved
-        # layout directly and the sin/select fuse into the consumer.  Layout
-        # identical to the reference phase trick (code.py:21-28):
-        # [x (if include_input), sin(f0 x), cos(f0 x), sin(f1 x), ...].
+        # layout directly and the sin/select fuse into the consumer.
         import numpy as np
 
-        d_in, F = self.d_in, self.num_freqs
-        n_head = d_in if self.include_input else 0
-        d_out = self.d_out
-        sel = np.zeros((d_in, d_out), np.float32)
-        fcol = np.zeros((d_out,), np.float32)
-        pcol = np.zeros((d_out,), np.float32)
-        if n_head:
-            sel[:, :d_in] = np.eye(d_in, dtype=np.float32)
-        for k in range(2 * F):
-            f = self.freq_factor * 2.0 ** (k // 2)
-            p = 0.0 if k % 2 == 0 else 0.5 * math.pi
-            c0 = n_head + k * d_in
-            sel[:, c0 : c0 + d_in] = np.eye(d_in, dtype=np.float32)
-            fcol[c0 : c0 + d_in] = f
-            pcol[c0 : c0 + d_in] = p
+        W, fcol, pcol, mcol = self.flat_arrays()
         xg = jnp.einsum(
-            "...i,io->...o", x, jnp.asarray(sel), precision="highest"
+            "...i,io->...o", x, jnp.asarray(W), precision="highest"
         )
         enc = jnp.sin(xg * jnp.asarray(fcol) + jnp.asarray(pcol))
-        if n_head:
-            head = jnp.zeros((d_out,), np.float32).at[:d_in].set(1.0)
-            enc = jnp.where(head > 0, xg, enc)
+        if np.any(mcol == 0.0):
+            enc = jnp.where(jnp.asarray(mcol) > 0, enc, xg)
         return enc
 
     @classmethod

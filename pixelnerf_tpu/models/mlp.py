@@ -95,6 +95,10 @@ class ImplicitNet(nn.Module):
     ) -> Array:
         if type(x) is tuple:  # (z, x) parts — see ResnetFC.__call__
             z_p, x_p = x
+            if not hasattr(x_p, "dtype"):  # RawCode (deferred positional code)
+                from ..ops.resnetfc_pallas import materialize_code
+
+                x_p = materialize_code(x_p)
             if z_p is not None and not hasattr(z_p, "dtype"):  # LatentGather
                 from ..ops.resnetfc_pallas import materialize_gather
 

@@ -40,6 +40,22 @@ from .resnetfc import ResnetFC
 Array = jnp.ndarray
 
 
+def _defer_code_enabled() -> bool:
+    """Whether query passes the positional code as a deferred RawCode for the
+    fused kernel to evaluate in-register (opt-in via PIXELNERF_DEFER_CODE=1).
+
+    Measured OFF-by-default: on a 64px sn64 render the XLA-side posenc costs
+    only ~14 ms/pass (the flat select-matmul absorbs its thin (N, 3)/(N, 6)
+    inputs while emitting the wide kernel operand), whereas handing the kernel
+    a narrow (N, 8) raw-coordinate operand makes XLA materialize the
+    [xyz, viewdirs] concat through thin-minor-dim relayouts costing ~290
+    ms/pass (118k -> 75k rays/s end to end).  The deferred path remains
+    available for shapes where the trade flips (docs/PERFORMANCE.md)."""
+    import os
+
+    return os.environ.get("PIXELNERF_DEFER_CODE", "0") == "1"
+
+
 class EncodedScene(flax.struct.PyTreeNode):
     """Everything ``query`` needs about the conditioned source views.
 
@@ -318,12 +334,13 @@ class PixelNeRFNet(nn.Module):
 
         mlp_input = None
         if self.d_in > 0:
+            defer_code = self.use_code and _defer_code_enabled()
             if self.use_xyz:
                 z_feature = xyz_rot if self.normalize_z else xyz_cam
             else:
                 src = xyz_rot if self.normalize_z else xyz_cam
                 z_feature = -src[..., 2:3]
-            if self.use_code and not self.use_code_viewdirs:
+            if self.use_code and not self.use_code_viewdirs and not defer_code:
                 z_feature = self.code(z_feature)
             if self.use_viewdirs:
                 assert viewdirs is not None
@@ -332,9 +349,31 @@ class PixelNeRFNet(nn.Module):
                     "nij,nbj->nbi", poses[:, :3, :3], vd, precision="highest"
                 )
                 z_feature = jnp.concatenate([z_feature, vd], axis=-1)
-            if self.use_code and self.use_code_viewdirs:
+            if self.use_code and self.use_code_viewdirs and not defer_code:
                 z_feature = self.code(z_feature)
-            mlp_input = z_feature
+            if defer_code:
+                # Deferred positional code: pass the RAW (~6ch) coordinate
+                # features plus the flat code arrays; the fused Pallas kernel
+                # evaluates the sin-code in-register (the encoded d_in-wide
+                # tensor never exists in HBM), and the XLA path materializes
+                # the identical math (materialize_code).  A post-code viewdir
+                # tail rides the same select matrix, so the layout equals
+                # [code(x), vd] (backup2:193-205).
+                from ..ops.resnetfc_pallas import RawCode
+
+                tail = (
+                    3 if (self.use_viewdirs and not self.use_code_viewdirs) else 0
+                )
+                Wc, fcol, pcol, mcol = self.code.flat_arrays(tail=tail)
+                mlp_input = RawCode(
+                    x=z_feature,
+                    w=jnp.asarray(Wc),
+                    f=jnp.asarray(fcol),
+                    p=jnp.asarray(pcol),
+                    m=jnp.asarray(mcol),
+                )
+            else:
+                mlp_input = z_feature
 
         latent = None
         if self.use_encoder:
@@ -395,7 +434,7 @@ class PixelNeRFNet(nn.Module):
         # decides whether to fuse them (XLA path) or stream them separately into
         # the Pallas kernel (the latent may be bf16 straight from the gather,
         # or a LatentGather deferring the lookup into the kernel itself).
-        from ..ops.resnetfc_pallas import LatentGather
+        from ..ops.resnetfc_pallas import LatentGather, RawCode
 
         is_gather = isinstance(latent, LatentGather)
         if mlp_input is None:
@@ -405,9 +444,15 @@ class PixelNeRFNet(nn.Module):
                 if is_gather
                 else latent[..., :0]
             )  # d_in == 0: zero-width code
-        flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
-        if compute_dtype is not None:
-            flat_x = flat_x.astype(compute_dtype)
+        if isinstance(mlp_input, RawCode):
+            xr = mlp_input.x.reshape(-1, mlp_input.x.shape[-1])
+            if compute_dtype is not None:
+                xr = xr.astype(compute_dtype)
+            flat_x = mlp_input._replace(x=xr)
+        else:
+            flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
+            if compute_dtype is not None:
+                flat_x = flat_x.astype(compute_dtype)
         if is_gather:
             table = latent.table
             if compute_dtype is not None:
@@ -423,7 +468,11 @@ class PixelNeRFNet(nn.Module):
                 flat_z = flat_z.astype(compute_dtype)
         else:
             flat_z = None
-        arg = (flat_z, flat_x) if flat_z is not None else flat_x
+        arg = (
+            (flat_z, flat_x)
+            if flat_z is not None or isinstance(flat_x, RawCode)
+            else flat_x
+        )
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("mlp_forward"):
             out = mlp(arg, combine_inner_dims=(NS, B), planar_out=planar_out)

@@ -117,8 +117,13 @@ class ResnetFC(nn.Module):
                     z_arg = z_p  # gather taps arrive pre-flattened from query
                 else:
                     z_arg = z_p.reshape(-1, z_p.shape[-1])
-                arg = (z_arg, x_p.reshape(-1, x_p.shape[-1]))
-                d_in = x_p.shape[-1]
+                if isinstance(x_p, rp.RawCode):
+                    # deferred positional code — evaluated inside the kernel
+                    arg = (z_arg, x_p)
+                    d_in = x_p.w.shape[-1]
+                else:
+                    arg = (z_arg, x_p.reshape(-1, x_p.shape[-1]))
+                    d_in = x_p.shape[-1]
             else:
                 arg = zx.reshape(-1, zx.shape[-1])
                 d_in = zx.shape[-1] - self.d_latent
@@ -138,6 +143,10 @@ class ResnetFC(nn.Module):
         d_latent = self.d_latent
         if parts is not None:
             z, x = parts
+            if not hasattr(x, "dtype"):  # RawCode
+                from ..ops.resnetfc_pallas import materialize_code
+
+                x = materialize_code(x)
             if z is not None and not hasattr(z, "dtype"):  # LatentGather
                 from ..ops.resnetfc_pallas import materialize_gather
 

@@ -59,6 +59,40 @@ class LatentGather(NamedTuple):
     w: Array  # (B, 4) f32 bilinear corner weights (0 for masked-out corners)
 
 
+class RawCode(NamedTuple):
+    """Deferred positional encoding: the field kernel receives the RAW per-view
+    coordinate features ``x (B, d_raw)`` (camera-space xyz [+ viewdirs], ~8
+    columns) plus the flat code arrays from
+    :meth:`PositionalEncoding.flat_arrays`, and evaluates
+
+        xg = x @ w;  enc = where(m, sin(xg * f + p), xg)
+
+    in-register before ``lin_in``.  The encoded (B, d_in~42 -> 128-padded)
+    tensor therefore never exists in HBM — input traffic per point drops from
+    256 B (bf16 x128 code) to 32 B (f32 x8 raw), and the XLA-side positional
+    encode + pad/convert disappear entirely."""
+
+    x: Array  # (B, d_raw) raw coordinate features
+    w: Array  # (d_raw, d_code) channel-select matrix
+    f: Array  # (d_code,) per-column frequency (1 for passthrough)
+    p: Array  # (d_code,) per-column phase
+    m: Array  # (d_code,) 1.0 where sin applies, 0.0 passthrough
+
+
+def materialize_code(rc: RawCode) -> Array:
+    """XLA fallback: resolve a RawCode to the dense encoded (B, d_code) array
+    (bit-identical math to PositionalEncoding._encode + tail concat)."""
+    with jax.named_scope("positional_enc"):  # reference code.py:40 cut point
+        xg = jnp.einsum(
+            "...i,io->...o",
+            rc.x,
+            rc.w.astype(rc.x.dtype),
+            precision="highest",
+        )
+        enc = jnp.sin(xg * rc.f + rc.p)
+        return jnp.where(rc.m > 0, enc, xg)
+
+
 def materialize_gather(g: LatentGather) -> Array:
     """XLA fallback: resolve a LatentGather to dense (B, C) features.
 
@@ -87,9 +121,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _x_feat(xr, wc_ref, fc_ref, pc_ref, mc_ref, fused_code, interpret):
+    """Deferred positional code (see RawCode): applied in-register when
+    ``fused_code``; otherwise ``xr`` already holds the encoded features.
+
+    The channel-select "matmul" runs as an unrolled broadcast-MAC over the
+    d_raw (~8) input columns on the VPU — exact f32 (Mosaic's f32 ``dot``
+    defaults to a single bf16 MXU pass, whose ~1e-3 relative error is
+    amplified by the sin frequencies to O(1) feature error) and off the MXU,
+    which the surrounding MLP matmuls saturate."""
+    if not fused_code:
+        return xr
+    xg = (xr[:, 0:1] * wc_ref[0:1, :]).astype(jnp.float32)
+    for j in range(1, wc_ref.shape[0]):
+        xg = xg + xr[:, j : j + 1] * wc_ref[j : j + 1, :]
+    enc = jnp.sin(xg * fc_ref[:] + pc_ref[:])
+    enc = jnp.where(mc_ref[:] > 0, enc, xg)
+    return enc.astype(_ct(interpret))
+
+
 def _kernel_2d(
     z_ref,  # (BB, d_latent) bf16   (dummy (BB, 128) zeros when d_latent==0)
-    x_ref,  # (BB, d_in_pad) bf16
+    x_ref,  # (BB, d_in_pad) bf16 | (BB, d_raw_pad) f32 raw coords (fused_code)
     w_in_ref,  # (d_in_pad, H) bf16
     b_in_ref,  # (1, H) f32
     w_z_ref,  # (n_lin_z, d_latent, H) bf16
@@ -98,12 +151,17 @@ def _kernel_2d(
     b_blk_ref,  # (n_blocks, 2, 1, H) f32
     w_out_ref,  # (H, d_out_pad) bf16
     b_out_ref,  # (1, d_out_pad) or (d_out_pad, 1) f32
+    wc_ref,  # (d_raw_pad, d_in_pad) code select matrix ((1, 128) dummy unless fused_code)
+    fc_ref,  # (1, d_in_pad) code frequencies
+    pc_ref,  # (1, d_in_pad) code phases
+    mc_ref,  # (1, d_in_pad) code sin mask
     out_ref,  # (BB, d_out_pad) or (d_out_pad, BB) f32
     *,
     d_latent: int,
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    fused_code: bool = False,
     interpret: bool = False,
 ):
     """Single-view (NS==1) fast path: plain 2D blocks compile ~10x faster under
@@ -116,8 +174,9 @@ def _kernel_2d(
     (lane-select + relayout) — more than the entire MLP; the in-kernel (BB, 8)
     transpose is free.
     """
+    xf = _x_feat(x_ref[:], wc_ref, fc_ref, pc_ref, mc_ref, fused_code, interpret)
     x = (
-        jnp.dot(x_ref[:], w_in_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xf, w_in_ref[:], preferred_element_type=jnp.float32)
         + b_in_ref[:]
     )
     for k in range(n_blocks):
@@ -157,7 +216,7 @@ def _kernel_2d(
 def _kernel_2d_gather(
     idx_ref,  # (BB, 8) int32 — cols 0..3 are the bilinear corner rows
     w_ref,  # (BB, 8) f32 — cols 0..3 are the corner weights
-    x_ref,  # (BB, d_in_pad) bf16
+    x_ref,  # (BB, d_in_pad) bf16 | (BB, d_raw_pad) f32 raw coords (fused_code)
     table_ref,  # (T, C) bf16 — VMEM-resident flattened feature map
     w_in_ref,
     b_in_ref,
@@ -167,11 +226,16 @@ def _kernel_2d_gather(
     b_blk_ref,
     w_out_ref,
     b_out_ref,
+    wc_ref,
+    fc_ref,
+    pc_ref,
+    mc_ref,
     out_ref,  # (d_out_pad, BB) f32 (planar) or (BB, d_out_pad)
     *,
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    fused_code: bool = False,
     interpret: bool = False,
 ):
     """NS==1 fast path with the feature gather fused in: the bilinear lookup is
@@ -189,8 +253,9 @@ def _kernel_2d_gather(
         S.astype(_ct(interpret)), table_ref[:], preferred_element_type=jnp.float32
     ).astype(_ct(interpret))
 
+    xf = _x_feat(x_ref[:], wc_ref, fc_ref, pc_ref, mc_ref, fused_code, interpret)
     x = (
-        jnp.dot(x_ref[:], w_in_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xf, w_in_ref[:], preferred_element_type=jnp.float32)
         + b_in_ref[:]
     )
     for k in range(n_blocks):
@@ -301,7 +366,7 @@ def _mv_body(
 
 def _kernel_2d_mv(
     z_ref,  # (BB, NS * d_latent) bf16, point-major per-view column groups
-    x_ref,  # (BB, NS * d_in_pad) bf16
+    x_ref,  # (BB, NS * d_x) bf16 (encoded) | f32 raw coords (fused_code)
     w_in_ref,
     b_in_ref,
     w_z_ref,
@@ -310,14 +375,19 @@ def _kernel_2d_mv(
     b_blk_ref,
     w_out_ref,
     b_out_ref,
+    wc_ref,
+    fc_ref,
+    pc_ref,
+    mc_ref,
     out_ref,
     *,
     NS: int,
     d_latent: int,
-    d_in_pad: int,
+    d_x: int,
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    fused_code: bool = False,
     interpret: bool = False,
 ):
     """Multi-view point-major kernel: all NS views of a point live in one row as
@@ -331,7 +401,10 @@ def _kernel_2d_mv(
         ]
     xs = [
         jnp.dot(
-            x_ref[:, v * d_in_pad : (v + 1) * d_in_pad],
+            _x_feat(
+                x_ref[:, v * d_x : (v + 1) * d_x],
+                wc_ref, fc_ref, pc_ref, mc_ref, fused_code, interpret,
+            ),
             w_in_ref[:],
             preferred_element_type=jnp.float32,
         )
@@ -358,7 +431,7 @@ def _kernel_2d_mv(
 def _kernel_2d_mv_gather(
     idx_ref,  # (BB, NS * 8) int32 — per-view column groups, cols 0..3 used
     w4_ref,  # (BB, NS * 8) f32
-    x_ref,  # (BB, NS * d_in_pad) bf16
+    x_ref,  # (BB, NS * d_x) bf16 (encoded) | f32 raw coords (fused_code)
     table_ref,  # (NS, T, C) bf16 — per-view VMEM-resident feature tables
     w_in_ref,
     b_in_ref,
@@ -368,13 +441,18 @@ def _kernel_2d_mv_gather(
     b_blk_ref,
     w_out_ref,
     b_out_ref,
+    wc_ref,
+    fc_ref,
+    pc_ref,
+    mc_ref,
     out_ref,
     *,
     NS: int,
-    d_in_pad: int,
+    d_x: int,
     n_blocks: int,
     combine_layer: int,
     planar_out: bool,
+    fused_code: bool = False,
     interpret: bool = False,
 ):
     """Multi-view fused-gather kernel: per-view one-hot matmuls against the
@@ -400,7 +478,10 @@ def _kernel_2d_mv_gather(
         )
     xs = [
         jnp.dot(
-            x_ref[:, v * d_in_pad : (v + 1) * d_in_pad],
+            _x_feat(
+                x_ref[:, v * d_x : (v + 1) * d_x],
+                wc_ref, fc_ref, pc_ref, mc_ref, fused_code, interpret,
+            ),
             w_in_ref[:],
             preferred_element_type=jnp.float32,
         )
@@ -451,16 +532,27 @@ def resnetfc_pallas(
     combine_inner_dims=(NS, B)).
 
     :param zx: either the concatenated ``(NS*B, d_latent + d_in)`` array, or a
-        tuple ``(z, x)`` of ``(NS*B, d_latent)`` latent (may be None/bf16) and
-        ``(NS*B, d_in)`` coordinate code — the fast path that skips repacking
+        tuple ``(z, x)`` of ``(NS*B, d_latent)`` latent (may be None/bf16, or a
+        :class:`LatentGather`) and ``(NS*B, d_in)`` coordinate code (may be a
+        :class:`RawCode` whose positional encoding is then evaluated in-kernel)
+        — the fast path that skips repacking
     :param params: the ResnetFC param subtree (lin_in / lin_z_k / blocks_k / lin_out)
     :param planar_out: write the result channel-major — each output channel lands
         as a contiguous row, so compositing never column-slices (see _kernel_2d)
     """
+    raw_code = False
     if isinstance(zx, tuple):
         z, x_part = zx
+        if isinstance(x_part, RawCode):
+            # deferred positional code: pack the raw coords, evaluate the
+            # code in-register inside the kernel (see RawCode)
+            raw_code = True
+            rc = x_part
+            x_part = rc.x
+            assert rc.w.shape[-1] == d_in, (rc.w.shape, d_in)
+        else:
+            assert x_part.shape[-1] == d_in, (x_part.shape, d_in)
         total = x_part.shape[0]
-        assert x_part.shape[-1] == d_in, (x_part.shape, d_in)
         assert (z is None) == (d_latent == 0)
         if isinstance(z, LatentGather):
             assert z.table.shape[-1] == d_latent, (z.table.shape, d_latent)
@@ -552,11 +644,34 @@ def resnetfc_pallas(
     pad_b = B_pad - B
     n_grid = B_pad // BB
     flops_per_pt = 2 * H * (d_in_pad + 2 * n_blocks * H + n_lin_z * d_latent + d_out_pad)
-    weight_args = (w_in, b_in, w_z, b_z, w_blk, b_blk, w_out, b_out)
+
+    # ---- deferred positional-code arrays (dummies when not raw_code) ----
+    if raw_code:
+        d_x = max(_round_up(rc.w.shape[0], 8), 8)  # packed raw-coord width
+        wc = jnp.zeros((d_x, d_in_pad), jnp.float32)
+        wc = wc.at[: rc.w.shape[0], :d_in].set(rc.w.astype(jnp.float32))
+        fc = jnp.ones((1, d_in_pad), jnp.float32)
+        fc = fc.at[0, :d_in].set(rc.f.astype(jnp.float32))
+        pc = jnp.zeros((1, d_in_pad), jnp.float32)
+        pc = pc.at[0, :d_in].set(rc.p.astype(jnp.float32))
+        mc = jnp.zeros((1, d_in_pad), jnp.float32)
+        mc = mc.at[0, :d_in].set(rc.m.astype(jnp.float32))
+        flops_per_pt += 2 * d_x * d_in_pad
+    else:
+        d_x = d_in_pad
+        wc = jnp.zeros((1, 128), bf)
+        fc = pc = mc = jnp.zeros((1, 128), jnp.float32)
+
+    def pack_x(a2d):
+        """astype+pad the coordinate input to its packed kernel width (raw
+        coords keep their dtype — the in-kernel code computes in f32)."""
+        return _pad_last(a2d, d_x, a2d.dtype if raw_code else bf)
+
+    weight_args = (w_in, b_in, w_z, b_z, w_blk, b_blk, w_out, b_out, wc, fc, pc, mc)
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
 
     if NS == 1 and isinstance(z, LatentGather):
-        x_in = _pad_last(x_part.reshape(B, -1), d_in_pad, bf)
+        x_in = pack_x(x_part.reshape(B, -1))
         idx_in = _pad_last(z.idx.reshape(B, -1), 8, jnp.int32)
         w_in_taps = _pad_last(z.w.reshape(B, -1), 8, jnp.float32)
         if pad_b:
@@ -568,18 +683,19 @@ def resnetfc_pallas(
             n_blocks=n_blocks,
             combine_layer=combine_layer,
             planar_out=planar_out,
+            fused_code=raw_code,
             interpret=interpret,
         )
         in_specs = [
             pl.BlockSpec((BB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, d_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # table, VMEM-resident
         ]
         point_args = (idx_in, w_in_taps, x_in, z.table.astype(bf))
-        in_bytes = idx_in.size * 4 + w_in_taps.size * 4 + x_in.size * 2
+        in_bytes = idx_in.size * 4 + w_in_taps.size * 4 + x_in.size * x_in.dtype.itemsize
     elif NS == 1:
-        x_in = _pad_last(x_part.reshape(B, -1), d_in_pad, bf)
+        x_in = pack_x(x_part.reshape(B, -1))
         if pad_b:
             x_in = jnp.pad(x_in, ((0, pad_b), (0, 0)))
         if d_latent > 0:
@@ -597,14 +713,15 @@ def resnetfc_pallas(
             n_blocks=n_blocks,
             combine_layer=combine_layer,
             planar_out=planar_out,
+            fused_code=raw_code,
             interpret=interpret,
         )
         in_specs = [
             pl.BlockSpec((BB, d_lat_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, d_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         point_args = (z_in, x_in)
-        in_bytes = (z_in.size + x_in.size) * 2
+        in_bytes = z_in.size * 2 + x_in.size * x_in.dtype.itemsize
     else:
         # multi-view: point-major column groups — all NS views of a point in
         # one row, so blocks stay 2D (see _kernel_2d_mv)
@@ -615,9 +732,7 @@ def resnetfc_pallas(
                 a = jnp.pad(a, ((0, pad_b), (0, 0)))
             return a
 
-        x_in = to_point_major(
-            _pad_last(x_part.reshape(NS * B, -1), d_in_pad, bf), d_in_pad
-        )
+        x_in = to_point_major(pack_x(x_part.reshape(NS * B, -1)), d_x)
         if isinstance(z, LatentGather):
             idx_in = to_point_major(
                 _pad_last(z.idx.reshape(NS * B, -1), 8, jnp.int32), 8
@@ -628,22 +743,27 @@ def resnetfc_pallas(
             kern = functools.partial(
                 _kernel_2d_mv_gather,
                 NS=NS,
-                d_in_pad=d_in_pad,
+                d_x=d_x,
                 n_blocks=n_blocks,
                 combine_layer=combine_layer,
                 planar_out=planar_out,
+                fused_code=raw_code,
                 interpret=interpret,
             )
             in_specs = [
                 pl.BlockSpec((BB, NS * 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BB, NS * 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (BB, NS * d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (BB, NS * d_x), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # (NS, T, C) tables
             ]
             point_args = (idx_in, w_in_taps, x_in, z.table.astype(bf))
-            in_bytes = idx_in.size * 4 + w_in_taps.size * 4 + x_in.size * 2
+            in_bytes = (
+                idx_in.size * 4
+                + w_in_taps.size * 4
+                + x_in.size * x_in.dtype.itemsize
+            )
         else:
             if d_latent > 0:
                 z_in = to_point_major(z.reshape(NS * B, d_latent).astype(bf), d_latent)
@@ -655,10 +775,11 @@ def resnetfc_pallas(
                 _kernel_2d_mv,
                 NS=NS,
                 d_latent=d_latent,
-                d_in_pad=d_in_pad,
+                d_x=d_x,
                 n_blocks=n_blocks,
                 combine_layer=combine_layer,
                 planar_out=planar_out,
+                fused_code=raw_code,
                 interpret=interpret,
             )
             in_specs = [
@@ -666,11 +787,11 @@ def resnetfc_pallas(
                     (BB, NS * d_lat_in), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (BB, NS * d_in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (BB, NS * d_x), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
             ]
             point_args = (z_in, x_in)
-            in_bytes = (z_in.size + x_in.size) * 2
+            in_bytes = z_in.size * 2 + x_in.size * x_in.dtype.itemsize
 
     if planar_out:
         out_spec = pl.BlockSpec(

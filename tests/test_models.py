@@ -376,3 +376,32 @@ def test_spatial_encoder_latent_size():
     assert enc.latent_size == [64, 64, 128, 256]
     enc = SpatialEncoder(backbone="resnet34", num_layers=4, use_multi_scale=False)
     assert enc.latent_size == 512
+
+
+def test_pixelnerf_query_deferred_code_matches_default(monkeypatch):
+    """PIXELNERF_DEFER_CODE=1 (RawCode through the MLP) == default query."""
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net()
+    scene = net.apply(
+        variables,
+        jnp.asarray(images),
+        jnp.asarray(poses),
+        jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+
+    def q():
+        return np.asarray(
+            net.apply(
+                variables,
+                scene,
+                jnp.asarray(xyz),
+                viewdirs=jnp.asarray(viewdirs),
+                coarse=True,
+                method=PixelNeRFNet.query,
+            )
+        )
+
+    ref = q()
+    monkeypatch.setenv("PIXELNERF_DEFER_CODE", "1")
+    out = q()
+    np.testing.assert_allclose(out, ref, atol=2e-5)

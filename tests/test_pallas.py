@@ -264,3 +264,73 @@ def test_pallas_mv_fused_gather_matches_dense():
         refn = np.asarray(ref[0] if ref.ndim == 3 else ref)
         tol = 0.02 * max(float(np.abs(refn).max()), 1.0)
         np.testing.assert_allclose(got, refn, atol=tol)
+
+
+@pytest.mark.parametrize("NS,gather", [(1, False), (2, False), (1, True), (2, True)])
+def test_pallas_raw_code_matches_encoded(NS, gather):
+    """RawCode (in-kernel positional code) == pre-encoded input, for the dense
+    and fused-gather kernels, single- and multi-view."""
+    from pixelnerf_tpu.models.code import PositionalEncoding
+
+    pe = PositionalEncoding(num_freqs=6, d_in=3, include_input=True)
+    tail = 3  # raw viewdirs appended after the code block
+    d_in = pe.d_out + tail
+    d_latent, d_hidden, n_blocks, B, T = 64, 128, 3, 160, 48
+    model, params = _make(d_in, d_latent, d_hidden, n_blocks, combine_layer=2)
+    rng = np.random.default_rng(11)
+
+    W, f, p, m = pe.flat_arrays(tail=tail)
+    raw = jnp.asarray(rng.normal(size=(NS * B, 3 + tail)).astype(np.float32))
+    rc = rp.RawCode(
+        raw, jnp.asarray(W), jnp.asarray(f), jnp.asarray(p), jnp.asarray(m)
+    )
+    encoded = rp.materialize_code(rc)
+    # materialization layout check: [code(x), viewdirs]
+    np.testing.assert_allclose(
+        np.asarray(encoded),
+        np.concatenate(
+            [np.asarray(pe(raw[:, :3])), np.asarray(raw[:, 3:])], axis=-1
+        ),
+        atol=1e-5,
+    )
+
+    if gather:
+        idx = jnp.asarray(rng.integers(0, T, size=(NS * B, 4)).astype(np.int32))
+        w4 = jnp.asarray(rng.random(size=(NS * B, 4)).astype(np.float32))
+        tables = jnp.asarray(
+            rng.normal(size=(T, d_latent)).astype(np.float32)
+            if NS == 1
+            else rng.normal(size=(NS, T, d_latent)).astype(np.float32)
+        )
+        z_arg = rp.LatentGather(tables, idx, w4)
+        z_dense = rp.materialize_gather(z_arg)
+    else:
+        z_arg = z_dense = jnp.asarray(
+            rng.normal(size=(NS * B, d_latent)).astype(np.float32)
+        )
+
+    kwargs = dict(
+        NS=NS,
+        d_latent=d_latent,
+        d_in=d_in,
+        n_blocks=n_blocks,
+        combine_layer=2,
+        interpret=True,
+    )
+    ref = rp.resnetfc_pallas(params, (z_dense, encoded), **kwargs)
+    out = rp.resnetfc_pallas(params, (z_arg, rc), **kwargs)
+    tol = 1e-4 * max(float(np.abs(np.asarray(ref)).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=tol)
+
+    # the XLA module path also accepts RawCode (materializes it)
+    ref_xla = model.apply(
+        {"params": params},
+        (z_dense, encoded),
+        combine_inner_dims=(NS, B),
+    )
+    out_xla = model.apply(
+        {"params": params}, (z_dense, rc), combine_inner_dims=(NS, B)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla), np.asarray(ref_xla), atol=1e-5
+    )
