@@ -92,22 +92,25 @@ def prepare_ray_batch(
         else:
             image_ord = rng.choice(NV, nviews, replace=False)
 
-        images_0to1 = images * 0.5 + 0.5
-        cam_rays = geometry.gen_rays_np(
-            poses, W, H, focal, z_near, z_far, c=c
-        )  # (NV, H, W, 8)
-        rgb_gt_all = images_0to1.reshape(-1, 3)
-
+        # rays/targets only at the ~ray_batch_size sampled pixels — building
+        # the full (NV, H, W) ray grid per object costs more host time on this
+        # box than the entire device step (gen_rays_at_np == gen_rays_np math)
         if all_bboxes is not None:
             pix = geometry.bbox_sample_np(
                 all_bboxes[obj_idx], ray_batch_size, rng
             )
-            pix_inds = pix[:, 0] * H * W + pix[:, 1] * W + pix[:, 2]
         else:
-            pix_inds = rng.integers(0, NV * H * W, (ray_batch_size,))
+            flat = rng.integers(0, NV * H * W, (ray_batch_size,))
+            pix = np.stack(
+                [flat // (H * W), (flat // W) % H, flat % W], axis=-1
+            )
 
-        all_rgb_gt.append(rgb_gt_all[pix_inds])
-        all_rays.append(cam_rays.reshape(-1, 8)[pix_inds])
+        all_rgb_gt.append(
+            images[pix[:, 0], pix[:, 1], pix[:, 2]] * 0.5 + 0.5
+        )
+        all_rays.append(
+            geometry.gen_rays_at_np(poses, W, H, focal, z_near, z_far, pix, c=c)
+        )
         src_images.append(images[image_ord])
         src_poses.append(poses[image_ord])
 

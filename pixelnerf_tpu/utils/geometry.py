@@ -213,6 +213,49 @@ def gen_rays_np(
     ).astype(np.float32)
 
 
+def gen_rays_at_np(
+    poses: np.ndarray,
+    width: int,
+    height: int,
+    focal,
+    z_near: float,
+    z_far: float,
+    pix: np.ndarray,
+    c=None,
+) -> np.ndarray:
+    """Rays for a sparse set of pixels only — same per-pixel math as
+    :func:`gen_rays_np` but O(R) instead of O(NV*H*W).
+
+    Training samples ~128 pixels per object out of the NV*H*W grid
+    (reference train.py:296-305); building the full grid on the host costs
+    more than the whole device step, so this is the train-loop path.
+
+    :param pix: (R, 3) int [view, row, col]
+    :return: (R, 8) rays [origin, dir, near, far]
+    """
+    poses = np.asarray(poses, np.float32)
+    f = np.atleast_1d(np.asarray(focal, np.float32).squeeze())
+    fx, fy = (f[0], f[0]) if f.size == 1 else (f[0], f[1])
+    if c is None:
+        cx, cy = width * 0.5, height * 0.5
+    else:
+        cc = np.asarray(c, np.float32).reshape(-1)
+        cx, cy = cc[0], cc[1]
+    v = pix[:, 0]
+    dx = (pix[:, 2].astype(np.float32) - cx) / fx
+    dy = (pix[:, 1].astype(np.float32) - cy) / fy
+    dirs = np.stack([dx, -dy, -np.ones_like(dx)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    world_dirs = np.einsum("rij,rj->ri", poses[v, :3, :3], dirs)
+    centers = poses[v, :3, 3]
+    R = pix.shape[0]
+    nears = np.full((R, 1), z_near, np.float32)
+    fars = np.full((R, 1), z_far, np.float32)
+    return np.concatenate(
+        [centers, world_dirs, nears, fars], axis=-1
+    ).astype(np.float32)
+
+
 def bbox_sample_np(
     bboxes: np.ndarray, num_pix: int, rng: np.random.Generator
 ) -> np.ndarray:

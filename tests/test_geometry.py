@@ -193,3 +193,36 @@ def test_masked_sample_np():
     assert pix.shape == (100, 3)
     inside = masks[pix[:, 0], pix[:, 1], pix[:, 2], 0] > 0.5
     assert inside[:70].all() and not inside[70:].any()
+
+
+def test_gen_rays_at_np_matches_full_grid():
+    """Sparse per-pixel rays == rows of the full gen_rays_np grid."""
+    rng = np.random.default_rng(3)
+    NV, H, W = 3, 24, 20
+    poses = np.tile(np.eye(4, dtype=np.float32), (NV, 1, 1))
+    for i in range(NV):
+        th = 0.3 * (i + 1)
+        poses[i, :3, :3] = np.array(
+            [
+                [np.cos(th), 0, np.sin(th)],
+                [0, 1, 0],
+                [-np.sin(th), 0, np.cos(th)],
+            ],
+            np.float32,
+        )
+        poses[i, :3, 3] = [0.1 * i, -0.2, 1.3]
+    for c in (None, np.array([9.5, 12.25], np.float32)):
+        full = geometry.gen_rays_np(poses, W, H, 14.0, 0.8, 1.8, c=c)
+        pix = np.stack(
+            [
+                rng.integers(0, NV, 64),
+                rng.integers(0, H, 64),
+                rng.integers(0, W, 64),
+            ],
+            axis=-1,
+        )
+        sparse = geometry.gen_rays_at_np(
+            poses, W, H, 14.0, 0.8, 1.8, pix, c=c
+        )
+        ref = full[pix[:, 0], pix[:, 1], pix[:, 2]]
+        np.testing.assert_allclose(sparse, ref, atol=1e-6)
