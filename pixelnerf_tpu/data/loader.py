@@ -46,7 +46,13 @@ def collate(samples: List[Optional[dict]]) -> Optional[dict]:
 
 
 class DataLoader:
-    """Deterministic, optionally shuffled batch iterator over a dataset."""
+    """Deterministic, optionally shuffled batch iterator over a dataset.
+
+    ``cache_mb`` > 0 keeps decoded samples in a size-bounded LRU keyed by
+    dataset index.  On a single-core host the per-epoch PNG decode (e.g. 200
+    images per 4-object SRN batch) otherwise dominates the train loop; cached
+    epochs skip the decode entirely.  Samples are treated as immutable by all
+    consumers (collate stacks, prepare_ray_batch derives new arrays)."""
 
     def __init__(
         self,
@@ -55,6 +61,7 @@ class DataLoader:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        cache_mb: float = 0.0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -62,6 +69,35 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_cap = int(cache_mb * 1e6)
+
+    @staticmethod
+    def _sample_bytes(s) -> int:
+        if not isinstance(s, dict):
+            return 0
+        return sum(
+            v.nbytes for v in s.values() if isinstance(v, np.ndarray)
+        )
+
+    def _get(self, idx: int):
+        if self._cache_cap <= 0:
+            return self.dataset[idx]
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        s = self.dataset[idx]
+        nb = self._sample_bytes(s)
+        if 0 < nb <= self._cache_cap:
+            self._cache[idx] = s
+            self._cache_bytes += nb
+            while self._cache_bytes > self._cache_cap and self._cache:
+                _, old = self._cache.popitem(last=False)
+                self._cache_bytes -= self._sample_bytes(old)
+        return s
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -85,7 +121,7 @@ class DataLoader:
             samples = []
             for i in idxs:
                 try:
-                    samples.append(self.dataset[int(i)])
+                    samples.append(self._get(int(i)))
                 except Exception as e:  # bad-data tolerance (trainer.py:14-108)
                     print(f"Warning: skipping sample {i}: {e}")
                     samples.append(None)

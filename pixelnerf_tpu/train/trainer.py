@@ -473,11 +473,25 @@ class Trainer:
         )
 
         batch_size = getattr(args, "batch_size", tc("batch_size", 4))
+        # decoded-sample LRU: multi-epoch training re-reads every object per
+        # epoch, and on a single-core host the PNG decode dominates the loop
+        # once the device step is fast; `data.cache_mb = 0` disables
+        cache_mb = 16384.0
+        if "data" in conf:
+            cache_mb = conf["data"].get_float("cache_mb", cache_mb)
         self.train_loader = DataLoader(
-            train_dataset, batch_size=batch_size, shuffle=True, seed=0
+            train_dataset,
+            batch_size=batch_size,
+            shuffle=True,
+            seed=0,
+            cache_mb=cache_mb,
         )
         self.test_loader = DataLoader(
-            test_dataset, batch_size=min(batch_size, 4), shuffle=True, seed=1
+            test_dataset,
+            batch_size=min(batch_size, 4),
+            shuffle=True,
+            seed=1,
+            cache_mb=cache_mb,
         )
 
         self.z_near = train_dataset.z_near

@@ -215,3 +215,47 @@ def test_dtu_dataset_roundtrip(tmp_path):
     assert d2["images"].shape[1:3] == (38, 50)
     f2 = np.asarray(d2["focal"]).reshape(-1)
     np.testing.assert_allclose(f2[0], f[0] * 0.5, rtol=1e-3)
+
+
+def test_loader_sample_cache():
+    """cache_mb > 0: each index decoded once across epochs; LRU evicts under cap."""
+    from pixelnerf_tpu.data.loader import DataLoader
+
+    class Counting:
+        def __init__(self, n):
+            self.n = n
+            self.calls = np.zeros(n, np.int64)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.calls[i] += 1
+            return {
+                "images": np.full((2, 4, 4, 3), float(i), np.float32),
+                "poses": np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+                "focal": np.float32(10.0),
+            }
+
+    ds = Counting(6)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, cache_mb=64.0)
+    for _ in range(3):
+        batches = list(loader)
+        assert len(batches) == 3
+    assert (ds.calls == 1).all()  # decoded exactly once, served from cache after
+    # batches still correct from cache
+    assert float(batches[1]["images"][0, 0, 0, 0, 0]) == 2.0
+
+    # no cache by default
+    ds2 = Counting(4)
+    loader2 = DataLoader(ds2, batch_size=2, shuffle=False)
+    list(loader2), list(loader2)
+    assert (ds2.calls == 2).all()
+
+    # tiny cap -> eviction keeps byte accounting sane and loader still works
+    ds3 = Counting(5)
+    sample_mb = ds3[0]["images"].nbytes / 1e6
+    loader3 = DataLoader(ds3, batch_size=1, shuffle=False, cache_mb=sample_mb * 2.1)
+    list(loader3), list(loader3)
+    assert loader3._cache_bytes <= loader3._cache_cap
+    assert ds3.calls.sum() >= 5  # some misses re-decode
