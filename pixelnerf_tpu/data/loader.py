@@ -48,11 +48,15 @@ def collate(samples: List[Optional[dict]]) -> Optional[dict]:
 class DataLoader:
     """Deterministic, optionally shuffled batch iterator over a dataset.
 
-    ``cache_mb`` > 0 keeps decoded samples in a size-bounded LRU keyed by
+    ``cache_mb`` > 0 keeps decoded samples in a size-bounded cache keyed by
     dataset index.  On a single-core host the per-epoch PNG decode (e.g. 200
     images per 4-object SRN batch) otherwise dominates the train loop; cached
-    epochs skip the decode entirely.  Samples are treated as immutable by all
-    consumers (collate stacks, prepare_ray_batch derives new arrays)."""
+    epochs skip the decode entirely.  The cache FREEZES once full instead of
+    evicting: shuffled epochs visit every index per epoch (LRU's worst case —
+    eviction churn with a 0% hit rate once the dataset outgrows the cap),
+    whereas a frozen cache still serves cap/total of accesses.  Samples are
+    treated as immutable by all consumers (collate stacks, prepare_ray_batch
+    derives new arrays)."""
 
     def __init__(
         self,
@@ -69,9 +73,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
-        from collections import OrderedDict
-
-        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._cache: dict = {}
         self._cache_bytes = 0
         self._cache_cap = int(cache_mb * 1e6)
 
@@ -87,16 +89,12 @@ class DataLoader:
         if self._cache_cap <= 0:
             return self.dataset[idx]
         if idx in self._cache:
-            self._cache.move_to_end(idx)
             return self._cache[idx]
         s = self.dataset[idx]
         nb = self._sample_bytes(s)
-        if 0 < nb <= self._cache_cap:
+        if 0 < nb and self._cache_bytes + nb <= self._cache_cap:
             self._cache[idx] = s
             self._cache_bytes += nb
-            while self._cache_bytes > self._cache_cap and self._cache:
-                _, old = self._cache.popitem(last=False)
-                self._cache_bytes -= self._sample_bytes(old)
         return s
 
     def set_epoch(self, epoch: int) -> None:

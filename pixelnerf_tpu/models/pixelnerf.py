@@ -445,9 +445,12 @@ class PixelNeRFNet(nn.Module):
                 else latent[..., :0]
             )  # d_in == 0: zero-width code
         if isinstance(mlp_input, RawCode):
+            # NO compute_dtype cast on raw coordinates: rounding xyz to bf16
+            # BEFORE the sin code is ~0.4 rad of phase error at freq 2^5*pi.
+            # The code is evaluated in f32 and its bounded output cast after
+            # (materialize_code / _x_feat) — matching the default AMP path,
+            # which casts the encoded features, not the coordinates.
             xr = mlp_input.x.reshape(-1, mlp_input.x.shape[-1])
-            if compute_dtype is not None:
-                xr = xr.astype(compute_dtype)
             flat_x = mlp_input._replace(x=xr)
         else:
             flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])

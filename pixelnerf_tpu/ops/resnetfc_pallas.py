@@ -81,16 +81,22 @@ class RawCode(NamedTuple):
 
 def materialize_code(rc: RawCode) -> Array:
     """XLA fallback: resolve a RawCode to the dense encoded (B, d_code) array
-    (bit-identical math to PositionalEncoding._encode + tail concat)."""
+    (same math as PositionalEncoding._encode + tail concat).
+
+    The select-matmul and sin always run in f32 — pre-sin rounding of the
+    coordinates is amplified by the code frequencies (see _x_feat).  Non-f32
+    inputs (AMP) get the f32-encoded result cast back to their dtype, matching
+    the default AMP path (which casts the bounded encoded features, never the
+    raw coordinates)."""
     with jax.named_scope("positional_enc"):  # reference code.py:40 cut point
         xg = jnp.einsum(
             "...i,io->...o",
-            rc.x,
-            rc.w.astype(rc.x.dtype),
+            rc.x.astype(jnp.float32),
+            rc.w.astype(jnp.float32),
             precision="highest",
         )
         enc = jnp.sin(xg * rc.f + rc.p)
-        return jnp.where(rc.m > 0, enc, xg)
+        return jnp.where(rc.m > 0, enc, xg).astype(rc.x.dtype)
 
 
 def materialize_gather(g: LatentGather) -> Array:

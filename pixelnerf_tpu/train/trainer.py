@@ -473,10 +473,12 @@ class Trainer:
         )
 
         batch_size = getattr(args, "batch_size", tc("batch_size", 4))
-        # decoded-sample LRU: multi-epoch training re-reads every object per
+        # decoded-sample cache: multi-epoch training re-reads every object per
         # epoch, and on a single-core host the PNG decode dominates the loop
-        # once the device step is fast; `data.cache_mb = 0` disables
-        cache_mb = 16384.0
+        # once the device step is fast; `data.cache_mb = 0` disables.  The
+        # cache freezes when full (see DataLoader), so datasets beyond the cap
+        # still get cap/total hits without eviction churn or unbounded RAM.
+        cache_mb = 4096.0
         if "data" in conf:
             cache_mb = conf["data"].get_float("cache_mb", cache_mb)
         self.train_loader = DataLoader(
@@ -491,7 +493,7 @@ class Trainer:
             batch_size=min(batch_size, 4),
             shuffle=True,
             seed=1,
-            cache_mb=cache_mb,
+            cache_mb=cache_mb / 4,
         )
 
         self.z_near = train_dataset.z_near

@@ -179,6 +179,20 @@ def masked_sample_np(
     return np.concatenate([pix_inside, pix_outside], axis=0)
 
 
+def _intrinsics_np(focal, c, width: int, height: int):
+    """Shared (fx, fy, cx, cy) parsing for the host-side ray generators —
+    gen_rays_np and gen_rays_at_np must stay in lockstep (the sparse training
+    rays are golden-tested against the full grid)."""
+    f = np.atleast_1d(np.asarray(focal, np.float32).squeeze())
+    fx, fy = (f[0], f[0]) if f.size == 1 else (f[0], f[1])
+    if c is None:
+        cx, cy = width * 0.5, height * 0.5
+    else:
+        cc = np.asarray(c, np.float32).reshape(-1)
+        cx, cy = cc[0], cc[1]
+    return fx, fy, cx, cy
+
+
 def gen_rays_np(
     poses: np.ndarray,
     width: int,
@@ -191,13 +205,7 @@ def gen_rays_np(
     """Pure-numpy gen_rays (same math as :func:`gen_rays`) for host-side ray
     generation in the data/training path — no device round-trip for tiny arrays."""
     poses = np.asarray(poses, np.float32)
-    f = np.atleast_1d(np.asarray(focal, np.float32).squeeze())
-    fx, fy = (f[0], f[0]) if f.size == 1 else (f[0], f[1])
-    if c is None:
-        cx, cy = width * 0.5, height * 0.5
-    else:
-        cc = np.asarray(c, np.float32).reshape(-1)
-        cx, cy = cc[0], cc[1]
+    fx, fy, cx, cy = _intrinsics_np(focal, c, width, height)
     xs = (np.arange(width, dtype=np.float32) - cx) / fx
     ys = (np.arange(height, dtype=np.float32) - cy) / fy
     X, Y = np.meshgrid(xs, ys)
@@ -234,13 +242,7 @@ def gen_rays_at_np(
     :return: (R, 8) rays [origin, dir, near, far]
     """
     poses = np.asarray(poses, np.float32)
-    f = np.atleast_1d(np.asarray(focal, np.float32).squeeze())
-    fx, fy = (f[0], f[0]) if f.size == 1 else (f[0], f[1])
-    if c is None:
-        cx, cy = width * 0.5, height * 0.5
-    else:
-        cc = np.asarray(c, np.float32).reshape(-1)
-        cx, cy = cc[0], cc[1]
+    fx, fy, cx, cy = _intrinsics_np(focal, c, width, height)
     v = pix[:, 0]
     dx = (pix[:, 2].astype(np.float32) - cx) / fx
     dy = (pix[:, 1].astype(np.float32) - cy) / fy

@@ -252,10 +252,19 @@ def test_loader_sample_cache():
     list(loader2), list(loader2)
     assert (ds2.calls == 2).all()
 
-    # tiny cap -> eviction keeps byte accounting sane and loader still works
+    # tiny cap -> cache freezes when full (no eviction churn); cached indices
+    # keep hitting, the rest re-decode every epoch
     ds3 = Counting(5)
-    sample_mb = ds3[0]["images"].nbytes / 1e6
-    loader3 = DataLoader(ds3, batch_size=1, shuffle=False, cache_mb=sample_mb * 2.1)
-    list(loader3), list(loader3)
+    ds3.calls[:] = 0
+    sample = {
+        "images": np.zeros((2, 4, 4, 3), np.float32),
+        "poses": np.zeros((2, 4, 4), np.float32),
+    }
+    per = sum(v.nbytes for v in sample.values())
+    loader3 = DataLoader(
+        ds3, batch_size=1, shuffle=False, cache_mb=per * 2.5 / 1e6
+    )
+    list(loader3), list(loader3), list(loader3)
     assert loader3._cache_bytes <= loader3._cache_cap
-    assert ds3.calls.sum() >= 5  # some misses re-decode
+    assert (ds3.calls[:2] == 1).all()  # first two frozen in cache
+    assert (ds3.calls[2:] == 3).all()  # the rest decode each epoch

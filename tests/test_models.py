@@ -405,3 +405,27 @@ def test_pixelnerf_query_deferred_code_matches_default(monkeypatch):
     monkeypatch.setenv("PIXELNERF_DEFER_CODE", "1")
     out = q()
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # AMP: raw coordinates must NOT be rounded to bf16 before the sin code
+    # (phase error ~freq * eps at the top frequency); the deferred path casts
+    # only the f32-encoded features, so it stays at bf16-noise level of the
+    # default AMP path
+    def q_amp():
+        return np.asarray(
+            net.apply(
+                variables,
+                scene,
+                jnp.asarray(xyz),
+                viewdirs=jnp.asarray(viewdirs),
+                coarse=True,
+                compute_dtype=jnp.bfloat16,
+                method=PixelNeRFNet.query,
+            )
+        )
+
+    out_amp = q_amp()
+    monkeypatch.delenv("PIXELNERF_DEFER_CODE")
+    ref_amp = q_amp()
+    assert np.abs(out_amp - ref_amp).max() < 0.05
+    # and the deferred-AMP result stays close to the f32 reference
+    assert np.abs(out_amp - ref).max() < 0.1
