@@ -19,7 +19,7 @@ Module-name rules mirror the naming in :mod:`pixelnerf_tpu.models`:
 from __future__ import annotations
 
 import re
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -203,3 +203,118 @@ def tree_shapes_match(converted: dict, target: dict, path=()) -> list:
                 if cs != ts:
                     problems.append((p, cs, ts))
     return problems
+
+
+# ---------------------------------------------------------------------------
+# Pretrained backbone initialization (reference encoder.py:61-67 relies on
+# torchvision pretrained=True at construction time)
+# ---------------------------------------------------------------------------
+
+
+def _merge_overlap(dst: dict, src: dict) -> int:
+    """Overwrite leaves of ``dst`` that exist in ``src`` with matching shapes;
+    returns the number of leaves replaced.  Extra source leaves (fc head,
+    truncated layers) are ignored."""
+    n = 0
+    for k, v in src.items():
+        if k not in dst:
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            n += _merge_overlap(dst[k], v)
+        elif not isinstance(v, dict) and not isinstance(dst[k], dict):
+            if tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                n += 1
+    return n
+
+
+def backbone_state_dict(backbone: str, weights_path: Optional[str] = None):
+    """Fetch a torch state dict for ``backbone`` (resnet18/34/50):
+
+    1. explicit ``weights_path`` (or $PIXELNERF_BACKBONE_WEIGHTS) — a torch
+       file holding the torchvision-layout state dict;
+    2. torchvision's IMAGENET1K_V1 weights (what the reference's
+       ``pretrained=True`` loads) when torchvision + its cache are available;
+    3. None with a warning (offline, no cache) — caller keeps random init.
+    """
+    import os
+    import warnings
+
+    path = weights_path or os.environ.get("PIXELNERF_BACKBONE_WEIGHTS")
+    if path:
+        try:
+            return load_torch_checkpoint(path)
+        except Exception as e:
+            warnings.warn(f"backbone weights file {path!r} unreadable: {e}")
+            return None
+    try:
+        import torchvision.models as tvm
+
+        fn = getattr(tvm, backbone)
+        try:
+            model = fn(weights="IMAGENET1K_V1")
+        except TypeError:  # torchvision < 0.13
+            model = fn(pretrained=True)
+        return {k: _to_numpy(v) for k, v in model.state_dict().items()}
+    except Exception as e:
+        warnings.warn(
+            f"pretrained backbone {backbone!r} unavailable ({e}); encoder "
+            "keeps its random initialization. Set encoder.pretrained_path or "
+            "$PIXELNERF_BACKBONE_WEIGHTS to a torchvision-layout state dict "
+            "to train from ImageNet features as the reference does."
+        )
+        return None
+
+
+def load_pretrained_backbones(variables: dict, model_conf) -> dict:
+    """Initialize spatial/global encoder ResNet backbones from pretrained
+    torch weights per the conf (``encoder.pretrained``, default true — the
+    reference constructs its encoders with torchvision pretrained=True,
+    encoder.py:61-67).  Returns (possibly updated) variables; silently a
+    no-op for conv encoders and ``pretrained = false``."""
+    import flax.serialization
+
+    targets = []
+    if "encoder" in model_conf:
+        enc = model_conf["encoder"]
+        if (
+            enc.get_string("type", "spatial") == "spatial"
+            and enc.get_bool("pretrained", True)
+        ):
+            targets.append(
+                (
+                    "encoder",
+                    enc.get_string("backbone", "resnet34"),
+                    enc.get_string("pretrained_path", None),
+                )
+            )
+    if model_conf.get_bool("use_global_encoder", False) and "global_encoder" in model_conf:
+        ge = model_conf["global_encoder"]
+        if ge.get_bool("pretrained", True):
+            targets.append(
+                (
+                    "global_encoder",
+                    ge.get_string("backbone", "resnet34"),
+                    ge.get_string("pretrained_path", None),
+                )
+            )
+    if not targets:
+        return variables
+
+    state = flax.serialization.to_state_dict(variables)
+    changed = 0
+    for mod_name, backbone, wpath in targets:
+        sd = backbone_state_dict(backbone, wpath)
+        if sd is None:
+            continue
+        conv = convert_resnet(sd)
+        for coll in ("params", "batch_stats"):
+            dst = state.get(coll, {}).get(mod_name, {}).get("model")
+            if isinstance(dst, dict):
+                changed += _merge_overlap(dst, conv[coll])
+    if changed:
+        print(
+            f"Initialized {changed} backbone tensors from pretrained weights"
+        )
+        return flax.serialization.from_state_dict(variables, state)
+    return variables

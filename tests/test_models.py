@@ -429,3 +429,64 @@ def test_pixelnerf_query_deferred_code_matches_default(monkeypatch):
     assert np.abs(out_amp - ref_amp).max() < 0.05
     # and the deferred-AMP result stays close to the f32 reference
     assert np.abs(out_amp - ref).max() < 0.1
+
+
+def test_load_pretrained_backbones_from_file(tmp_path, monkeypatch):
+    """encoder.pretrained=True + $PIXELNERF_BACKBONE_WEIGHTS initializes the
+    spatial encoder's ResNet trunk from a torchvision-layout state dict."""
+    tmodel = TorchResNet34Trunk().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, seed=5)
+    wfile = tmp_path / "resnet34.pth"
+    torch.save(tmodel.state_dict(), str(wfile))
+
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net()
+    conf = hocon.parse_string(
+        SMALL_CONF.replace("pretrained = False", "pretrained = True")
+    )
+
+    monkeypatch.setenv("PIXELNERF_BACKBONE_WEIGHTS", str(wfile))
+    loaded = torch_convert.load_pretrained_backbones(variables, conf["model"])
+
+    got = np.asarray(loaded["params"]["encoder"]["model"]["conv1"]["kernel"])
+    want = np.transpose(tmodel.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    bn_mean = np.asarray(
+        loaded["batch_stats"]["encoder"]["model"]["bn1"]["mean"]
+    )
+    np.testing.assert_allclose(
+        bn_mean, tmodel.state_dict()["bn1.running_mean"].numpy(), atol=1e-6
+    )
+    # untouched modules keep their init
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["mlp_coarse"]["lin_in"]["kernel"]),
+        np.asarray(variables["params"]["mlp_coarse"]["lin_in"]["kernel"]),
+    )
+    # the loaded tree still drives encode+query
+    out = net.apply(
+        loaded,
+        net.apply(
+            loaded,
+            jnp.asarray(images),
+            jnp.asarray(poses),
+            jnp.asarray(focal),
+            method=PixelNeRFNet.encode,
+        ),
+        jnp.asarray(xyz),
+        viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+    # offline + no file -> warn and keep random init
+    monkeypatch.delenv("PIXELNERF_BACKBONE_WEIGHTS")
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        same = torch_convert.load_pretrained_backbones(variables, conf["model"])
+    assert any("unavailable" in str(r.message) for r in rec)
+    np.testing.assert_allclose(
+        np.asarray(same["params"]["encoder"]["model"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["model"]["conv1"]["kernel"]),
+    )
