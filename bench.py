@@ -27,6 +27,10 @@ REFERENCE_RAYS_PER_SEC = 50_000.0
 
 
 def main():
+    from pixelnerf_tpu.config.args import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -20,6 +20,32 @@ import os
 
 from . import hocon
 
+
+def enable_compilation_cache() -> None:
+    """Point jax at a persistent compilation cache (XLA compiles of the render
+    and train programs take minutes on a remote TPU backend; cached reruns
+    start in seconds).  Respects an explicit JAX_COMPILATION_CACHE_DIR;
+    PIXELNERF_NO_COMPCACHE=1 disables."""
+    if os.environ.get("PIXELNERF_NO_COMPCACHE") == "1":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "pixelnerf_tpu", "xla"
+                ),
+            )
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+        # default threshold skips sub-second compiles; keep it, but make sure
+        # the cache engages on all backends (it is TPU/GPU-only by default)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass  # older jax without the knobs — cache is an optimization only
+
 PROJECT_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
@@ -36,6 +62,7 @@ def parse_args(
     default_ray_batch_size=50000,
     argv=None,
 ):
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", "-c", type=str, default=None)
     parser.add_argument(
