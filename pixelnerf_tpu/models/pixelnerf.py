@@ -270,7 +270,11 @@ class PixelNeRFNet(nn.Module):
 
     # 64px-class feature maps (<=2048 rows) fit VMEM next to the MLP weights;
     # beyond that the one-hot matmul outgrows the HBM gather it replaces
-    FUSED_GATHER_MAX_ROWS = 2048
+    # (2*T*C one-hot FLOPs/pt/view vs a 4-tap HBM read — break-even near
+    # T*NS ~ 2k on this part).  Env-tunable for other chips/recipes.
+    FUSED_GATHER_MAX_ROWS = int(
+        __import__("os").environ.get("PIXELNERF_FUSED_GATHER_MAX_ROWS", 2048)
+    )
 
     def _fused_gather_ok(self, latents, NS: int) -> bool:
         """Whether the pixel-aligned lookup can ride the fused Pallas kernel."""
