@@ -26,7 +26,10 @@ from typing import List, Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample, resize_bilinear
+from ..ops.grid_sample import (
+    grid_sample,
+    resize_bilinear_align_corners,
+)
 from . import resnet
 
 Array = jnp.ndarray
@@ -83,7 +86,12 @@ class SpatialEncoder(nn.Module):
             return feats
         h0, w0 = feats[0].shape[1], feats[0].shape[2]
         unified = [
-            f if f.shape[1:3] == (h0, w0) else resize_bilinear(f, h0, w0)
+            # upstream upsamples the deeper latents with align_corners=True
+            # before the channel concat (the fork's fusion path uses
+            # half-pixel resize instead — kept separate in models/fusion.py)
+            f
+            if f.shape[1:3] == (h0, w0)
+            else resize_bilinear_align_corners(f, h0, w0)
             for f in feats
         ]
         return jnp.concatenate(unified, axis=-1)

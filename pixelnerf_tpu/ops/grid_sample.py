@@ -310,3 +310,34 @@ def resize_bilinear(feat: Array, out_h: int, out_w: int) -> Array:
 
     B, H, W, C = feat.shape
     return jax.image.resize(feat, (B, out_h, out_w, C), method="linear")
+
+
+def _align_corners_interp_matrix(out_n: int, in_n: int) -> "np.ndarray":
+    import numpy as np
+
+    M = np.zeros((out_n, in_n), np.float32)
+    if in_n == 1 or out_n == 1:
+        M[:, 0] = 1.0
+        return M
+    pos = np.arange(out_n, dtype=np.float64) * (in_n - 1) / (out_n - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, in_n - 1)
+    hi = np.minimum(lo + 1, in_n - 1)
+    w = (pos - lo).astype(np.float32)
+    M[np.arange(out_n), lo] += 1.0 - w
+    M[np.arange(out_n), hi] += w
+    return M
+
+
+def resize_bilinear_align_corners(feat: Array, out_h: int, out_w: int) -> Array:
+    """Bilinear resize with align_corners=True (= torch F.interpolate
+    align_corners=True) — the upstream encoder's semantics when unifying the
+    multi-layer latent (latents upsampled to the stage-0 resolution before
+    channel-concat).  Separable exact form: two small interp-matrix matmuls.
+    feat: (B, H, W, C)."""
+    import numpy as np
+
+    B, H, W, C = feat.shape
+    R = jnp.asarray(_align_corners_interp_matrix(out_h, H))
+    Cm = jnp.asarray(_align_corners_interp_matrix(out_w, W))
+    out = jnp.einsum("hH,bHWc->bhWc", R, feat, precision="highest")
+    return jnp.einsum("wW,bhWc->bhwc", Cm, out, precision="highest")

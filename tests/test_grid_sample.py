@@ -163,3 +163,30 @@ def test_gather_taps_scatter_fallback_gradient():
     np.testing.assert_allclose(
         np.asarray(g_matmul), np.asarray(g_scatter), atol=2e-2, rtol=2e-2
     )
+
+
+def test_resize_bilinear_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from pixelnerf_tpu.ops.grid_sample import resize_bilinear_align_corners
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 7, 9, 5)).astype(np.float32)
+    for oh, ow in [(13, 18), (7, 9), (3, 4), (1, 9)]:
+        got = np.asarray(
+            resize_bilinear_align_corners(jnp.asarray(x), oh, ow)
+        )
+        ref = (
+            F.interpolate(
+                torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                size=(oh, ow),
+                mode="bilinear",
+                align_corners=True,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -490,3 +490,188 @@ def test_load_pretrained_backbones_from_file(tmp_path, monkeypatch):
         np.asarray(same["params"]["encoder"]["model"]["conv1"]["kernel"]),
         np.asarray(variables["params"]["encoder"]["model"]["conv1"]["kernel"]),
     )
+
+
+def test_pixelnerf_query_end_to_end_torch_oracle():
+    """Full conditioned-query parity vs an independent torch implementation of
+    the upstream semantics (backup2:98-282): pose inversion, camera-space
+    coordinate feature + positional code, per-view viewdir rotation,
+    uv = -xy/z * [fx,-fy] + c projection, image-extent-normalized
+    border-padded bilinear feature sampling on the unified multi-layer latent
+    (align_corners=True upsample + concat), per-block latent injection, view
+    average at combine_layer, sigmoid/relu outputs."""
+    import flax.serialization
+    import torch.nn.functional as F
+
+    conf = hocon.parse_string(
+        """
+model {
+    use_encoder = True
+    use_xyz = True
+    normalize_z = True
+    use_code = True
+    code { num_freqs = 6\n freq_factor = 1.5\n include_input = True }
+    use_viewdirs = True
+    use_code_viewdirs = False
+    mlp_coarse { type = resnet\n n_blocks = 3\n d_hidden = 64\n combine_layer = 2\n combine_type = average }
+    mlp_fine { type = empty }
+    encoder { backbone = resnet34\n pretrained = False\n num_layers = 3\n use_first_pool = False }
+}
+"""
+    )
+    net = make_model(conf["model"])
+    rng = np.random.default_rng(17)
+    SB, NS, H, W, B = 1, 2, 32, 32, 40
+    images = rng.normal(size=(SB, NS, H, W, 3)).astype(np.float32).clip(-1, 1)
+    poses = np.tile(np.eye(4, dtype=np.float32), (SB, NS, 1, 1))
+    # distinct nontrivial c2w poses
+    for v, th in enumerate((0.4, -0.7)):
+        R = np.array(
+            [
+                [np.cos(th), 0, np.sin(th)],
+                [0, 1, 0],
+                [-np.sin(th), 0, np.cos(th)],
+            ],
+            np.float32,
+        )
+        poses[0, v, :3, :3] = R
+        poses[0, v, :3, 3] = [0.1 * v, -0.05, 1.4]
+    focal = np.float32(25.0)
+    xyz = (rng.normal(size=(SB, B, 3)) * 0.3).astype(np.float32)
+    viewdirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
+
+    variables = net.init(
+        jax.random.PRNGKey(3),
+        jnp.asarray(images),
+        jnp.asarray(poses),
+        jnp.asarray(focal),
+        jnp.asarray(xyz),
+        jnp.asarray(viewdirs),
+    )
+
+    # ---- share trunk weights: torch trunk -> converter -> flax variables ----
+    torch.manual_seed(7)
+    trunk = TorchResNet34Trunk().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(trunk, seed=9)
+    conv = torch_convert.convert_resnet(trunk.state_dict())
+    state = flax.serialization.to_state_dict(variables)
+    n = torch_convert._merge_overlap(state["params"]["encoder"]["model"], conv["params"])
+    n += torch_convert._merge_overlap(
+        state["batch_stats"]["encoder"]["model"], conv["batch_stats"]
+    )
+    assert n > 50
+    variables = flax.serialization.from_state_dict(variables, state)
+
+    # ---- flax reference path ----
+    with jax.default_matmul_precision("highest"):
+        scene = net.apply(
+            variables,
+            jnp.asarray(images),
+            jnp.asarray(poses),
+            jnp.asarray(focal),
+            method=PixelNeRFNet.encode,
+        )
+        out = np.asarray(
+            net.apply(
+                variables,
+                scene,
+                jnp.asarray(xyz),
+                viewdirs=jnp.asarray(viewdirs),
+                coarse=True,
+                method=PixelNeRFNet.query,
+            )
+        )[0]
+
+    # ---- independent torch oracle ----
+    mlp_p = jax.tree.map(np.asarray, variables["params"]["mlp_coarse"])
+
+    def tW(leaf):  # flax (in, out) kernel -> torch (out, in)
+        return torch.from_numpy(np.ascontiguousarray(leaf.T))
+
+    with torch.no_grad():
+        timgs = torch.from_numpy(
+            np.transpose(images[0], (0, 3, 1, 2))
+        )  # (NS,3,H,W)
+        feats = trunk(timgs, use_first_pool=False)[:3]
+        h0, w0 = feats[0].shape[-2:]
+        unified = torch.cat(
+            [
+                f
+                if f.shape[-2:] == (h0, w0)
+                else F.interpolate(
+                    f, size=(h0, w0), mode="bilinear", align_corners=True
+                )
+                for f in feats
+            ],
+            dim=1,
+        )  # (NS, 256, h0, w0)
+
+        # pose inversion (world -> camera)
+        rot = torch.from_numpy(poses[0, :, :3, :3]).transpose(1, 2)  # (NS,3,3)
+        trans = -torch.bmm(rot, torch.from_numpy(poses[0, :, :3, 3:]))
+
+        txyz = torch.from_numpy(xyz[0])  # (B,3)
+        tvd = torch.from_numpy(viewdirs[0])
+        xyz_rot = torch.einsum("nij,bj->nbi", rot, txyz)
+        xyz_cam = xyz_rot + trans[:, None, :, 0]
+        vd_rot = torch.einsum("nij,bj->nbi", rot, tvd)
+
+        # positional code on the rotation-only camera coords (normalize_z)
+        fr = 1.5 * 2.0 ** np.arange(6)
+        enc = [xyz_rot]
+        for f in fr:
+            enc += [torch.sin(f * xyz_rot), torch.cos(f * xyz_rot)]
+        mlp_x = torch.cat(enc + [vd_rot], dim=-1)  # (NS,B,42)
+
+        # projection with -fy and principal point at the image center
+        uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]
+        uv = uv * torch.tensor([focal, -focal]) + torch.tensor(
+            [W * 0.5, H * 0.5]
+        )
+        # image-extent normalization to align_corners=True grid coords
+        hl, wl = unified.shape[-2:]
+        gx = uv[..., 0] * (wl / W) * (2.0 / (wl - 1)) - 1.0
+        gy = uv[..., 1] * (hl / H) * (2.0 / (hl - 1)) - 1.0
+        grid = torch.stack([gx, gy], dim=-1)[:, None]  # (NS,1,B,2)
+        z_lat = (
+            F.grid_sample(
+                unified, grid, align_corners=True, padding_mode="border"
+            )
+            .squeeze(2)
+            .permute(0, 2, 1)
+        )  # (NS,B,256)
+
+        # ResnetFC with per-block latent injection + view mean at combine_layer
+        x = mlp_x @ tW(mlp_p["lin_in"]["kernel"]).T + torch.from_numpy(
+            mlp_p["lin_in"]["bias"]
+        )
+        for k in range(3):
+            if k == 2:  # combine_layer: average over views, no injection
+                x = x.mean(dim=0, keepdim=True)
+            else:
+                zi = z_lat @ tW(mlp_p[f"lin_z_{k}"]["kernel"]).T + torch.from_numpy(
+                    mlp_p[f"lin_z_{k}"]["bias"]
+                )
+                x = x + zi
+            blk = mlp_p[f"blocks_{k}"]
+            h = torch.relu(x) @ tW(blk["fc_0"]["kernel"]).T + torch.from_numpy(
+                blk["fc_0"]["bias"]
+            )
+            dx = torch.relu(h) @ tW(blk["fc_1"]["kernel"]).T + torch.from_numpy(
+                blk["fc_1"]["bias"]
+            )
+            x = x + dx
+        o = torch.relu(x) @ tW(mlp_p["lin_out"]["kernel"]).T + torch.from_numpy(
+            mlp_p["lin_out"]["bias"]
+        )
+        o = o[0]  # (B,4)
+        ref = torch.cat(
+            [torch.sigmoid(o[:, :3]), torch.relu(o[:, 3:4])], dim=-1
+        ).numpy()
+
+    assert out.shape == ref.shape == (B, 4)
+    np.testing.assert_allclose(out, ref, atol=3e-3)
+    cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.9999
