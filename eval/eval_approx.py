@@ -90,6 +90,11 @@ def main():
         if random_source:
             src_view = rng.integers(0, NV, (SB, 1))
         else:
+            if (source >= NV).any():
+                raise SystemExit(
+                    f"source view(s) {source.tolist()} out of range for a "
+                    f"{NV}-view dataset; pass -P with views < {NV}"
+                )
             src_view = np.broadcast_to(source[None], (SB, NS)).copy()
 
         # random non-source target view per object (eval_approx.py:115-117)
