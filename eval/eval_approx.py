@@ -90,10 +90,10 @@ def main():
         if random_source:
             src_view = rng.integers(0, NV, (SB, 1))
         else:
-            if (source >= NV).any():
+            if (source < 0).any() or (source >= NV).any():
                 raise SystemExit(
                     f"source view(s) {source.tolist()} out of range for a "
-                    f"{NV}-view dataset; pass -P with views < {NV}"
+                    f"{NV}-view dataset; pass -P with views in [0, {NV})"
                 )
             src_view = np.broadcast_to(source[None], (SB, NS)).copy()
 

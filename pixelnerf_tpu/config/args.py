@@ -31,6 +31,10 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # CPU compiles are fast, and reusing XLA:CPU AOT results across
+            # host-feature mismatches risks SIGILL (observed loader warnings)
+            return
         if jax.config.jax_compilation_cache_dir is None:
             path = os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
@@ -40,8 +44,8 @@ def enable_compilation_cache() -> None:
             )
             os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)
-        # default threshold skips sub-second compiles; keep it, but make sure
-        # the cache engages on all backends (it is TPU/GPU-only by default)
+        # default threshold skips sub-second compiles; "all" additionally
+        # persists the XLA-internal caches (the bulk of the TPU compile time)
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass  # older jax without the knobs — cache is an optimization only

@@ -94,17 +94,11 @@ class ImplicitNet(nn.Module):
         planar_out: bool = False,
     ) -> Array:
         if type(x) is tuple:  # (z, x) parts — see ResnetFC.__call__
-            z_p, x_p = x
-            if not hasattr(x_p, "dtype"):  # RawCode (deferred positional code)
-                from ..ops.resnetfc_pallas import materialize_code
+            from ..ops.resnetfc_pallas import materialize_parts
 
-                x_p = materialize_code(x_p)
-            if z_p is not None and not hasattr(z_p, "dtype"):  # LatentGather
-                from ..ops.resnetfc_pallas import materialize_gather
-
-                z_p = materialize_gather(z_p)
+            z_p, x_p = materialize_parts(*x)
             if z_p is not None:
-                x = jnp.concatenate([z_p.astype(x_p.dtype), x_p], axis=-1)
+                x = jnp.concatenate([z_p, x_p], axis=-1)
             else:
                 x = x_p
         dims = self._layer_dims()

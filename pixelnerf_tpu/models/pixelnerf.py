@@ -271,10 +271,21 @@ class PixelNeRFNet(nn.Module):
     # 64px-class feature maps (<=2048 rows) fit VMEM next to the MLP weights;
     # beyond that the one-hot matmul outgrows the HBM gather it replaces
     # (2*T*C one-hot FLOPs/pt/view vs a 4-tap HBM read — break-even near
-    # T*NS ~ 2k on this part).  Env-tunable for other chips/recipes.
-    FUSED_GATHER_MAX_ROWS = int(
-        __import__("os").environ.get("PIXELNERF_FUSED_GATHER_MAX_ROWS", 2048)
-    )
+    # T*NS ~ 2k on this part).
+    FUSED_GATHER_MAX_ROWS = 2048
+
+    @staticmethod
+    def _fused_gather_cap() -> int:
+        """Read per call so PIXELNERF_FUSED_GATHER_MAX_ROWS works regardless
+        of import order (other chips have different matmul/HBM break-evens)."""
+        import os
+
+        return int(
+            os.environ.get(
+                "PIXELNERF_FUSED_GATHER_MAX_ROWS",
+                PixelNeRFNet.FUSED_GATHER_MAX_ROWS,
+            )
+        )
 
     def _fused_gather_ok(self, latents, NS: int) -> bool:
         """Whether the pixel-aligned lookup can ride the fused Pallas kernel."""
@@ -300,7 +311,7 @@ class PixelNeRFNet(nn.Module):
         if getattr(self.encoder, "index_interp", "bilinear") != "bilinear":
             return False
         # NS tables must fit VMEM together
-        return NS * latents.shape[1] * latents.shape[2] <= self.FUSED_GATHER_MAX_ROWS
+        return NS * latents.shape[1] * latents.shape[2] <= self._fused_gather_cap()
 
     # ----------------------------- query -----------------------------
     def query(

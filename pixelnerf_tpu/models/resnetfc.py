@@ -142,17 +142,9 @@ class ResnetFC(nn.Module):
         act = _activation(self.beta)
         d_latent = self.d_latent
         if parts is not None:
-            z, x = parts
-            if not hasattr(x, "dtype"):  # RawCode
-                from ..ops.resnetfc_pallas import materialize_code
+            from ..ops.resnetfc_pallas import materialize_parts
 
-                x = materialize_code(x)
-            if z is not None and not hasattr(z, "dtype"):  # LatentGather
-                from ..ops.resnetfc_pallas import materialize_gather
-
-                z = materialize_gather(z)
-            if z is not None and z.dtype != x.dtype:
-                z = z.astype(x.dtype)
+            z, x = materialize_parts(*parts)
             assert (z.shape[-1] if z is not None else 0) == d_latent
         elif d_latent > 0:
             z = zx[..., :d_latent]

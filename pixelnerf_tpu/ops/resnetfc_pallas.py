@@ -99,6 +99,28 @@ def materialize_code(rc: RawCode) -> Array:
         return jnp.where(rc.m > 0, enc, xg).astype(rc.x.dtype)
 
 
+def materialize_parts(z, x):
+    """Resolve deferred kernel inputs (LatentGather latent / RawCode code) to
+    dense arrays for the XLA fallback, unifying dtypes the AMP way: if either
+    side is bf16, both sides run in bf16 — the code itself is still evaluated
+    in f32 (materialize_code) and only its bounded output is downcast, so the
+    deferred path matches the default AMP path's numerics AND its compute
+    dtype (no silent f32 upcast of the whole MLP)."""
+    if not hasattr(x, "dtype"):  # RawCode
+        x = materialize_code(x)
+    if z is not None and not hasattr(z, "dtype"):  # LatentGather
+        z = materialize_gather(z)
+    if z is not None and z.dtype != x.dtype:
+        dt = (
+            jnp.bfloat16
+            if jnp.bfloat16 in (z.dtype, x.dtype)
+            else x.dtype
+        )
+        z = z.astype(dt)
+        x = x.astype(dt)
+    return z, x
+
+
 def materialize_gather(g: LatentGather) -> Array:
     """XLA fallback: resolve a LatentGather to dense (B, C) features.
 

@@ -245,8 +245,10 @@ def backbone_state_dict(backbone: str, weights_path: Optional[str] = None):
         try:
             return load_torch_checkpoint(path)
         except Exception as e:
-            warnings.warn(f"backbone weights file {path!r} unreadable: {e}")
-            return None
+            warnings.warn(
+                f"backbone weights file {path!r} unreadable ({e}); "
+                "falling back to torchvision"
+            )
     try:
         import torchvision.models as tvm
 
@@ -303,10 +305,12 @@ def load_pretrained_backbones(variables: dict, model_conf) -> dict:
 
     state = flax.serialization.to_state_dict(variables)
     changed = 0
+    loaded_any = False
     for mod_name, backbone, wpath in targets:
         sd = backbone_state_dict(backbone, wpath)
         if sd is None:
             continue
+        loaded_any = True
         conv = convert_resnet(sd)
         for coll in ("params", "batch_stats"):
             dst = state.get(coll, {}).get(mod_name, {}).get("model")
@@ -317,4 +321,12 @@ def load_pretrained_backbones(variables: dict, model_conf) -> dict:
             f"Initialized {changed} backbone tensors from pretrained weights"
         )
         return flax.serialization.from_state_dict(variables, state)
+    if loaded_any:
+        import warnings
+
+        warnings.warn(
+            "pretrained backbone weights loaded but matched 0 model tensors — "
+            "is the file a bare torchvision-layout state dict for the "
+            "configured backbone? Keeping random initialization."
+        )
     return variables

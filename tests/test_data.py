@@ -218,7 +218,8 @@ def test_dtu_dataset_roundtrip(tmp_path):
 
 
 def test_loader_sample_cache():
-    """cache_mb > 0: each index decoded once across epochs; LRU evicts under cap."""
+    """cache_mb > 0: each index decoded once across epochs; cache freezes when
+    full (no eviction), so cached indices keep hitting under a tiny cap."""
     from pixelnerf_tpu.data.loader import DataLoader
 
     class Counting:

@@ -117,11 +117,16 @@ def main():
         jnp.zeros((1, 8, 3), jnp.float32),
         c=jnp.asarray(init_c) if init_c is not None else None,
     )
-    # pretrained ImageNet backbone first (reference encoder.py:61-67),
-    # then any existing checkpoint overrides it
-    from pixelnerf_tpu.utils import torch_convert
+    # pretrained ImageNet backbone first (reference encoder.py:61-67) — but a
+    # resumed checkpoint would overwrite it anyway, so skip the fetch then
+    if not (
+        args.resume and os.path.exists(checkpoints.checkpoint_path(args))
+    ):
+        from pixelnerf_tpu.utils import torch_convert
 
-    variables = torch_convert.load_pretrained_backbones(variables, conf["model"])
+        variables = torch_convert.load_pretrained_backbones(
+            variables, conf["model"]
+        )
     variables = checkpoints.load_weights(args, variables, opt_init=True)
 
     class PixelNeRFTrainer(Trainer):
