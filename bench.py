@@ -110,8 +110,11 @@ def main():
         -1, 8
     )
     # -R semantics: upper bound on the device-side ray chunk; the pipeline
-    # renders the whole pass in ONE dispatch (lax.map over chunks on device)
-    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 8192))
+    # renders the whole pass in ONE dispatch (lax.map over chunks on device).
+    # 16384 measures ~1.3% over 8192 on the NS=1 fused path (fewer lax.map
+    # steps); the RenderPipeline default stays 8192 because dense-gather NS=3
+    # full-res shapes double their HBM-resident sampled latents with chunk.
+    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 16384))
 
     from pixelnerf_tpu.parallel import unpack_simple
 
