@@ -303,29 +303,47 @@ def _prefetch(gen, depth: int = 2):
 
     Host-side batch prep (ray sampling is numpy) and the H2D upload overlap
     the device step of the previous batch; exceptions re-raise in the
-    consumer."""
+    consumer.  If the consumer abandons the generator early (exception in the
+    train step, KeyboardInterrupt), a stop event unblocks the worker's
+    ``put`` so the thread and its queued device batches are released instead
+    of leaking for the process lifetime."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put with a stop check; returns False if the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put((True, item))
+                if not _put((True, item)):
+                    return
         except BaseException as e:  # propagate to consumer
-            q.put((False, e))
+            _put((False, e))
             return
-        q.put((True, _PREFETCH_END))
+        _put((True, _PREFETCH_END))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        ok, item = q.get()
-        if not ok:
-            raise item
-        if item is _PREFETCH_END:
-            return
-        yield item
+    try:
+        while True:
+            ok, item = q.get()
+            if not ok:
+                raise item
+            if item is _PREFETCH_END:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 # ---------------------------------------------------------------------------
@@ -667,19 +685,31 @@ class Trainer:
 
     # -------------------- steps --------------------
     def _batch_shardings(self, batch: dict) -> dict:
+        """Per-tensor shardings for one batch.  Any axis whose size does not
+        divide the mesh axis falls back to replication (e.g. the validate
+        path's SB=1 batches on a data>1 mesh) — replication is semantically
+        identical, just unsharded along that axis."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data_sh = NamedSharding(self.mesh, P("data"))
-        ray_sh = NamedSharding(self.mesh, P("data", "rays"))
+        data_n = self.mesh.shape["data"]
+        rays_n = self.mesh.shape["rays"]
+
+        def sh(v, kind):
+            d = "data" if v.shape[0] % data_n == 0 else None
+            if kind == "data":
+                return NamedSharding(self.mesh, P(d))
+            r = "rays" if v.shape[1] % rays_n == 0 else None
+            return NamedSharding(self.mesh, P(d, r))
+
         out = {
-            "src_images": data_sh,
-            "src_poses": data_sh,
-            "focal": data_sh,
-            "rays": ray_sh,
-            "rgb_gt": ray_sh,
+            "src_images": sh(batch["src_images"], "data"),
+            "src_poses": sh(batch["src_poses"], "data"),
+            "focal": sh(batch["focal"], "data"),
+            "rays": sh(batch["rays"], "rays"),
+            "rgb_gt": sh(batch["rgb_gt"], "rays"),
         }
         if "c" in batch:
-            out["c"] = data_sh
+            out["c"] = sh(batch["c"], "data")
         return out
 
     def _shard_steps(self, train_step, eval_step):
@@ -739,19 +769,32 @@ class Trainer:
         )
         return batch
 
-    def train_step(self, data) -> Optional[Dict[str, float]]:
+    def _maybe_flip_bbox(self) -> None:
+        """One-shot bbox->uniform sampling switch (reference train.py:251-256).
+        With prefetch the flip takes effect on batches prepped after this
+        point (depth may delay it by <= 2 steps)."""
         if (
             self.use_bbox
             and self.global_step >= getattr(self.args, "no_bbox_step", 100000)
         ):
             self.use_bbox = False
             print(">>> Stopped using bbox sampling @ iter", self.global_step)
+
+    def _device_train_step(self, batch: dict):
+        """Dispatch one prepared device batch; returns the on-device loss
+        dict (async — only fetched when printed/logged)."""
+        self.jrng, step_rng = jax.random.split(self.jrng)
+        self.state, loss_dict = self._train_step(self.state, batch, step_rng)
+        self.global_step += 1
+        return loss_dict
+
+    def train_step(self, data) -> Optional[Dict[str, float]]:
+        self._maybe_flip_bbox()
         batch = self._prep(data, is_train=True)
         if batch is None:
             return None
-        self.jrng, step_rng = jax.random.split(self.jrng)
-        self.state, loss_dict = self._train_step(
-            self.state, {k: jnp.asarray(v) for k, v in batch.items()}, step_rng
+        loss_dict = self._device_train_step(
+            {k: jnp.asarray(v) for k, v in batch.items()}
         )
         return {k: float(v) for k, v in loss_dict.items()}
 
@@ -795,25 +838,8 @@ class Trainer:
         for _ in range(self.num_epoch_repeats):
             self.train_loader.set_epoch(self.epoch)
             for batch_idx, batch in _prefetch(self._train_batches()):
-                if (
-                    self.use_bbox
-                    and self.global_step
-                    >= getattr(self.args, "no_bbox_step", 100000)
-                ):
-                    # flip takes effect on batches prepped after this point
-                    # (prefetch depth may delay it by <= 2 steps)
-                    self.use_bbox = False
-                    print(
-                        ">>> Stopped using bbox sampling @ iter",
-                        self.global_step,
-                    )
-                self.jrng, step_rng = jax.random.split(self.jrng)
-                # async dispatch: losses stay on device; only the steps that
-                # get printed/logged force a host fetch
-                self.state, loss_dict = self._train_step(
-                    self.state, batch, step_rng
-                )
-                self.global_step += 1
+                self._maybe_flip_bbox()
+                loss_dict = self._device_train_step(batch)
                 n_batches += 1
                 last = loss_dict
                 if self.global_step % self.print_interval == 0:

@@ -8,6 +8,7 @@ file stays CPU-cheap.
 """
 
 import os
+import re
 import runpy
 import shutil
 import sys
@@ -212,4 +213,34 @@ def test_train_cli(monkeypatch, env):
     files = os.listdir(ckpt_dir)
     assert "latest.pth" in files or any(f.startswith("epoch_") for f in files)
     # upstream-style final weights (pixel_nerf_latest scheme)
+    assert "pixel_nerf_latest" in files
+
+
+def test_train_cli_multi_device(monkeypatch, env, capsys):
+    """--gpu_id with N>1 entries must construct a ("data", "rays") mesh and
+    train sharded through the CLI path (reference: --gpu_id '0 1 3' drives
+    DataParallel, train/train.py:171) — exercised on the 8-CPU-device suite
+    backend."""
+    name = "tiny_train_mesh"
+    argv = _base_argv(
+        env,
+        name,
+        ["--epochs", "6", "-B", "2", "-R", "32", "--fixed_test",
+         "--lr", "1e-2", "--gpu_id", "0 1 2 3 4 5 6 7"],
+        data_key="srn_data",
+        fmt="srn",
+    )
+    _run(monkeypatch, "train/train.py", argv)
+    out = capsys.readouterr().out
+    assert "Training mesh: data=2 x rays=4" in out
+    # loss decreases through the sharded CLI path (print_interval=1 logs
+    # "... t:<loss> lr:..." every step)
+    losses = [
+        float(m.group(1)) for m in re.finditer(r"\bt:([0-9.]+)", out)
+    ]
+    assert len(losses) >= 4, out
+    assert min(losses[2:]) < losses[0], losses
+    ckpt_dir = env["root"] / name / "checkpoints" / name
+    files = os.listdir(ckpt_dir)
+    assert any(f.startswith("epoch_") for f in files)
     assert "pixel_nerf_latest" in files

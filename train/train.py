@@ -119,8 +119,17 @@ def main():
     )
     # pretrained ImageNet backbone first (reference encoder.py:61-67) — but a
     # resumed checkpoint would overwrite it anyway, so skip the fetch then
+    # (both checkpoint schemes count: upstream pixel_nerf_latest AND the
+    # Trainer-managed latest.ckpt)
+    managed_latest = os.path.join(
+        args.checkpoints_path, args.name, "latest.ckpt"
+    )
     if not (
-        args.resume and os.path.exists(checkpoints.checkpoint_path(args))
+        args.resume
+        and (
+            os.path.exists(checkpoints.checkpoint_path(args))
+            or os.path.exists(managed_latest)
+        )
     ):
         from pixelnerf_tpu.utils import torch_convert
 
@@ -129,9 +138,43 @@ def main():
         )
     variables = checkpoints.load_weights(args, variables, opt_init=True)
 
+    # --- multi-device training mesh (reference: --gpu_id '0 1 3' drives
+    # DataParallel, train.py:171 / nerf.py:368-370; here the gpu_id count is a
+    # device-count hint selecting an SPMD ("data", "rays") mesh) ---
+    mesh = None
+    n_req = len(args.gpu_id)
+    if n_req > 1:
+        import math
+
+        from pixelnerf_tpu.parallel import make_train_mesh
+
+        n_dev = min(n_req, len(jax.devices()))
+        if n_dev < n_req:
+            print(
+                f"WARNING: --gpu_id requests {n_req} devices, "
+                f"only {n_dev} available; using {n_dev}"
+            )
+        # object batch shards over "data"; leftover devices shard the
+        # per-object ray batch over "rays"
+        dp = math.gcd(n_dev, args.batch_size)
+        rp = n_dev // dp
+        if args.ray_batch_size % rp != 0:
+            args.ray_batch_size = -(-args.ray_batch_size // rp) * rp
+            print(
+                f"NOTE: ray_batch_size rounded up to {args.ray_batch_size} "
+                f"(multiple of rays axis {rp})"
+            )
+        mesh = make_train_mesh(n_dev, data_parallel=dp)
+        print(
+            f"Training mesh: data={dp} x rays={rp} over "
+            f"{n_dev} {jax.devices()[0].platform} device(s)"
+        )
+
     class PixelNeRFTrainer(Trainer):
         def __init__(self):
-            super().__init__(net, variables, dset, val_dset, renderer, args, conf)
+            super().__init__(
+                net, variables, dset, val_dset, renderer, args, conf, mesh=mesh
+            )
             self._fixed_vis_idx = 0
 
         def vis_step(self, data):
