@@ -85,14 +85,20 @@ class SpatialEncoder(nn.Module):
         if self.use_multi_scale:
             return feats
         h0, w0 = feats[0].shape[1], feats[0].shape[2]
+        # upstream upsamples the deeper latents before the channel concat with
+        # F.interpolate(mode=upsample_interp, align_corners=True-for-bilinear)
+        # (the fork's fusion path uses half-pixel resize instead — kept
+        # separate in models/fusion.py)
+        if self.upsample_interp == "bilinear":
+            up = resize_bilinear_align_corners
+        elif self.upsample_interp == "nearest":
+            from ..ops.grid_sample import resize_nearest as up
+        else:
+            raise NotImplementedError(
+                f"upsample_interp {self.upsample_interp!r}"
+            )
         unified = [
-            # upstream upsamples the deeper latents with align_corners=True
-            # before the channel concat (the fork's fusion path uses
-            # half-pixel resize instead — kept separate in models/fusion.py)
-            f
-            if f.shape[1:3] == (h0, w0)
-            else resize_bilinear_align_corners(f, h0, w0)
-            for f in feats
+            f if f.shape[1:3] == (h0, w0) else up(f, h0, w0) for f in feats
         ]
         return jnp.concatenate(unified, axis=-1)
 
@@ -142,11 +148,14 @@ class SpatialEncoder(nn.Module):
                 flat = lat.reshape(lat.shape[0], h_l * w_l, -1)
                 samples.append(gather_taps(flat, t_idx, t_w))
             else:
+                # align_corners=True to match the uv normalization above AND
+                # the reference, which passes align_corners=self.align_corners
+                # (=True) for every interp mode (encoder.py:181-186)
                 samples.append(
                     grid_sample(
                         lat,
                         grid,
-                        align_corners=False,
+                        align_corners=True,
                         padding_mode=self.index_padding,
                         mode=self.index_interp,
                     )

@@ -467,6 +467,13 @@ class PixelNeRFNet(nn.Module):
             # which casts the encoded features, not the coordinates.
             xr = mlp_input.x.reshape(-1, mlp_input.x.shape[-1])
             flat_x = mlp_input._replace(x=xr)
+            if compute_dtype is not None:
+                # marker so the XLA fallback casts the bounded encoded output
+                # to the AMP compute dtype even when d_latent == 0 (no z side
+                # to unify with in materialize_parts)
+                flat_x = flat_x._replace(
+                    cd=jnp.zeros((0,), compute_dtype)
+                )
         else:
             flat_x = mlp_input.reshape(-1, mlp_input.shape[-1])
             if compute_dtype is not None:

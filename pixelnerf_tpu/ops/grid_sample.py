@@ -312,6 +312,17 @@ def resize_bilinear(feat: Array, out_h: int, out_w: int) -> Array:
     return jax.image.resize(feat, (B, out_h, out_w, C), method="linear")
 
 
+def resize_nearest(feat: Array, out_h: int, out_w: int) -> Array:
+    """Nearest resize with torch ``F.interpolate(mode="nearest")`` semantics:
+    ``src = floor(dst * in / out)`` per axis.  feat: (B, H, W, C)."""
+    import numpy as np
+
+    B, H, W, C = feat.shape
+    rows = np.minimum((np.arange(out_h) * H) // out_h, H - 1)
+    cols = np.minimum((np.arange(out_w) * W) // out_w, W - 1)
+    return feat[:, jnp.asarray(rows)][:, :, jnp.asarray(cols)]
+
+
 def _align_corners_interp_matrix(out_n: int, in_n: int) -> "np.ndarray":
     import numpy as np
 

@@ -77,6 +77,9 @@ class RawCode(NamedTuple):
     f: Array  # (d_code,) per-column frequency (1 for passthrough)
     p: Array  # (d_code,) per-column phase
     m: Array  # (d_code,) 1.0 where sin applies, 0.0 passthrough
+    cd: Optional[Array] = None  # (0,) compute-dtype marker: under AMP the
+    # bounded encoded output is cast to cd.dtype (x itself stays f32 — pre-sin
+    # rounding is amplified by the code frequencies)
 
 
 def materialize_code(rc: RawCode) -> Array:
@@ -96,7 +99,8 @@ def materialize_code(rc: RawCode) -> Array:
             precision="highest",
         )
         enc = jnp.sin(xg * rc.f + rc.p)
-        return jnp.where(rc.m > 0, enc, xg).astype(rc.x.dtype)
+        out_dtype = rc.cd.dtype if rc.cd is not None else rc.x.dtype
+        return jnp.where(rc.m > 0, enc, xg).astype(out_dtype)
 
 
 def materialize_parts(z, x):

@@ -378,6 +378,45 @@ def test_spatial_encoder_latent_size():
     assert enc.latent_size == 512
 
 
+def test_spatial_encoder_index_nearest_torch_oracle():
+    """index_interp=nearest must match the reference encoder, which passes
+    align_corners=self.align_corners (=True) for EVERY interp mode
+    (reference encoder.py:181-186) — a half-pixel shift otherwise."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(11)
+    B, H_l, W_l, C, N = 2, 9, 9, 6, 160
+    W_img = H_img = 18.0
+    lat = rng.normal(size=(B, H_l, W_l, C)).astype(np.float32)
+    uv = rng.uniform(0.0, W_img, size=(B, N, 2)).astype(np.float32)
+    # nudge off exact .5 feature-coordinate boundaries where round-half rules
+    # differ between torch and jnp.round
+    fx = uv[..., 0] * (W_l / W_img)
+    fy = uv[..., 1] * (H_l / H_img)
+    bad = (np.abs(fx - np.round(fx)) > 0.45) | (np.abs(fy - np.round(fy)) > 0.45)
+    uv[bad] += 0.07
+
+    enc = SpatialEncoder(index_interp="nearest", index_normalize="image")
+    ours = np.asarray(enc.index(jnp.asarray(lat), jnp.asarray(uv), (W_img, H_img)))
+
+    # torch oracle: upstream uv normalization (by input-image extent, uv
+    # scaled to the feature grid) then grid_sample nearest align_corners=True
+    gx = uv[..., 0] * (W_l / W_img) * (2.0 / (W_l - 1)) - 1.0
+    gy = uv[..., 1] * (H_l / H_img) * (2.0 / (H_l - 1)) - 1.0
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1)[:, None])  # (B,1,N,2)
+    feat_t = torch.from_numpy(np.transpose(lat, (0, 3, 1, 2)))
+    ref = (
+        F.grid_sample(
+            feat_t, grid, mode="nearest", padding_mode="border",
+            align_corners=True,
+        )
+        .squeeze(2)
+        .transpose(1, 2)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
 def test_pixelnerf_query_deferred_code_matches_default(monkeypatch):
     """PIXELNERF_DEFER_CODE=1 (RawCode through the MLP) == default query."""
     net, variables, images, poses, focal, xyz, viewdirs = _init_net()
