@@ -64,6 +64,7 @@ class RenderPipeline:
         self.device_chunk = device_chunk
         self.max_rays_per_dispatch = max_rays_per_dispatch
         self.compute_dtype = compute_dtype
+        self.accel = None  # per-scene OccupancyGrid (see build_accel)
         self._use_viewdirs = None
         self._jitted: Dict[Any, Any] = {}
 
@@ -94,6 +95,30 @@ class RenderPipeline:
             tree,
         )
 
+    def _field_closure(self, variables, scene: EncodedScene):
+        """The renderer's model_fn contract over this net/scene (shared by the
+        render programs and the occupancy-grid builder)."""
+        net = self.net
+        use_viewdirs = self.use_viewdirs
+
+        def field(points, viewdirs, coarse):
+            if self.compute_dtype is not None:
+                points = points.astype(self.compute_dtype)
+                if viewdirs is not None:
+                    viewdirs = viewdirs.astype(self.compute_dtype)
+            out = net.apply(
+                variables,
+                scene,
+                points,
+                viewdirs=viewdirs if use_viewdirs else None,
+                coarse=coarse,
+                planar_out=True,
+                method=PixelNeRFNet.query,
+            )
+            return out.astype(jnp.float32)
+
+        return field
+
     def _get_render_fn(
         self,
         cfg: RenderConfig,
@@ -111,25 +136,10 @@ class RenderPipeline:
         if key in self._jitted:
             return self._jitted[key]
 
-        net = self.net
         use_viewdirs = self.use_viewdirs
 
-        def fn(variables, scene: EncodedScene, rays: Array, rng: Array):
-            def field(points, viewdirs, coarse):
-                if self.compute_dtype is not None:
-                    points = points.astype(self.compute_dtype)
-                    if viewdirs is not None:
-                        viewdirs = viewdirs.astype(self.compute_dtype)
-                out = net.apply(
-                    variables,
-                    scene,
-                    points,
-                    viewdirs=viewdirs if use_viewdirs else None,
-                    coarse=coarse,
-                    planar_out=True,
-                    method=PixelNeRFNet.query,
-                )
-                return out.astype(jnp.float32)
+        def fn(variables, scene: EncodedScene, rays: Array, rng: Array, accel):
+            field = self._field_closure(variables, scene)
 
             rc = rays.reshape(n_chunks, chunk, 8)
 
@@ -143,6 +153,7 @@ class RenderPipeline:
                     want_weights=want_weights,
                     training=False,
                     use_viewdirs=use_viewdirs,
+                    accel=accel,
                 )
                 if packed:
                     # single (chunk, 4) [rgb, depth] leaf: ONE host fetch per
@@ -168,7 +179,9 @@ class RenderPipeline:
             ray_axis = self.mesh.axis_names[-1]
             repl = NamedSharding(self.mesh, P())
             rays_sh = NamedSharding(self.mesh, P(ray_axis))
-            jitted = jax.jit(fn, in_shardings=(repl, repl, rays_sh, repl))
+            jitted = jax.jit(
+                fn, in_shardings=(repl, repl, rays_sh, repl, repl)
+            )
         else:
             jitted = jax.jit(fn)
         self._jitted[key] = jitted
@@ -212,8 +225,69 @@ class RenderPipeline:
                 )
             fn = self._get_render_fn(cfg, want_weights, n_chunks, chunk, packed)
             rng, step_rng = jax.random.split(rng)
-            out = fn(variables, scene, jnp.asarray(part), step_rng)
+            out = fn(variables, scene, jnp.asarray(part), step_rng, self.accel)
             yield out, min(NR - start, self.max_rays_per_dispatch)
+
+    def build_accel(
+        self,
+        variables,
+        scene: EncodedScene,
+        rays: np.ndarray,
+        resolution: int = 96,
+        eps_alpha: float = 1e-3,
+        dilate: int = 1,
+        n_dir_probes: int = 4,
+    ):
+        """Build a per-scene occupancy grid over the AABB of ``rays`` and
+        enable sample pruning for subsequent renders (render/accel.py).
+
+        Call after ``encode`` with the union of all rays that will be rendered
+        (e.g. every video frame) — one grid amortizes over the whole render.
+        ``PIXELNERF_ACCEL=0`` disables.  Returns the grid (or None).
+        """
+        import os
+
+        from ..render.accel import aabb_from_rays, build_occupancy_grid
+
+        if os.environ.get("PIXELNERF_ACCEL", "1") == "0":
+            self.accel = None
+            return None
+        rays_np = np.asarray(rays, np.float32).reshape(-1, 8)
+        lo, hi = aabb_from_rays(rays_np)
+        # conservative alpha threshold at the coarse step size
+        delta = float(np.mean(rays_np[:, 7] - rays_np[:, 6])) / max(
+            self.renderer.cfg.n_coarse, 1
+        )
+        use_viewdirs = self.use_viewdirs
+        use_fine = self.renderer.using_fine
+        key = ("accel", resolution, dilate, n_dir_probes, use_fine)
+        if key not in self._jitted:
+
+            def build(variables, scene, lo, hi, sigma_thresh):
+                field = self._field_closure(variables, scene)
+                return build_occupancy_grid(
+                    field,
+                    lo,
+                    hi,
+                    resolution=resolution,
+                    sigma_thresh=sigma_thresh,
+                    dilate=dilate,
+                    n_dir_probes=n_dir_probes,
+                    use_fine=use_fine,
+                    use_viewdirs=use_viewdirs,
+                )
+
+            self._jitted[key] = jax.jit(build)
+        variables = self._maybe_cast(variables) if self.compute_dtype else variables
+        scene = self._maybe_cast(scene) if self.compute_dtype else scene
+        self.accel = self._jitted[key](
+            variables,
+            scene,
+            jnp.asarray(lo),
+            jnp.asarray(hi),
+            jnp.float32(eps_alpha / max(delta, 1e-6)),
+        )
+        return self.accel
 
     def render(
         self,

@@ -49,6 +49,14 @@ class RenderConfig:
     white_bkgd: bool = False
     lindisp: bool = False
     sched: Optional[Tuple[Tuple[int, ...], ...]] = None
+    # --- occupancy-grid sample pruning (render/accel.py; eval-only) ---
+    # static compaction capacity as a fraction of the chunk's point count;
+    # chunks with more live points than this fall back to the dense path
+    # (lax.cond), so results are never wrong, only occasionally unpruned
+    accel_capacity: float = 0.5
+    # fine-pass transmittance floor: samples entered with coarse-estimated
+    # T below this are occluded behind the surface and pruned
+    accel_t_eps: float = 1e-4
 
     @property
     def using_fine(self) -> bool:
@@ -78,6 +86,8 @@ class RenderConfig:
             lindisp=conf.get_bool("lindisp", lindisp),
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
+            accel_capacity=conf.get_float("accel_capacity", 0.5),
+            accel_t_eps=conf.get_float("accel_t_eps", 1e-4),
         )
 
 
@@ -115,6 +125,50 @@ def _eval_model_chunked(
     return out[..., :P]
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _eval_model_masked(
+    model_fn: ModelFn,
+    points: Array,  # (SB, P, 3)
+    viewdirs: Optional[Array],  # (SB, P, 3) | None
+    coarse: bool,
+    mask: Array,  # (SB, P) bool — True = evaluate
+    capacity: int,
+) -> Array:
+    """Evaluate the field only at masked points via fixed-capacity compaction.
+
+    Live points are gathered into a ``capacity``-point buffer
+    (``jnp.nonzero(size=...)`` with an out-of-bounds fill), so the positional
+    code, projection, feature gather and MLP all run on ``capacity`` points
+    instead of P; outputs scatter back (OOB indices dropped).  Pruned points
+    read rgb = 0, sigma = 0 — exactly zero compositing weight.  If the chunk
+    has more live points than capacity, ``lax.cond`` takes the dense path
+    (never-wrong fallback; docs/PERFORMANCE.md).
+    """
+    SB, P, _ = points.shape
+    assert SB == 1, "masked compaction assumes SB == 1 (eval path)"
+    n_act = jnp.sum(mask.astype(jnp.int32))
+
+    def compact(_):
+        idx = jnp.nonzero(mask[0], size=capacity, fill_value=P)[0]
+        pts = jnp.take(points[0], idx, axis=0, mode="clip")[None]
+        dirs = (
+            jnp.take(viewdirs[0], idx, axis=0, mode="clip")[None]
+            if viewdirs is not None
+            else None
+        )
+        out = model_fn(pts, dirs, coarse)  # (1, 4, capacity)
+        full = jnp.zeros((1, 4, P), out.dtype)
+        return full.at[0, :, idx].set(out[0], mode="drop")
+
+    def dense(_):
+        return model_fn(points, viewdirs, coarse)
+
+    return jax.lax.cond(n_act <= capacity, compact, dense, None)
+
+
 @jax.named_scope("renderer_composite")  # nerf.py:175 cut point
 def composite(
     model_fn: ModelFn,
@@ -125,9 +179,12 @@ def composite(
     rng: Optional[Array] = None,
     training: bool = False,
     use_viewdirs: bool = True,
+    point_mask: Optional[Array] = None,  # (SB, B, K) bool
 ) -> Tuple[Array, Array, Array]:
     """Alpha-composite rgb/sigma along rays (reference nerf.py:163-249).
 
+    :param point_mask: optional live-sample mask (occupancy/transmittance
+        pruning, render/accel.py) — masked-out samples contribute zero weight
     :return: (weights (SB, B, K), rgb (SB, B, 3), depth (SB, B))
     """
     SB, B, K = z_samp.shape
@@ -147,8 +204,21 @@ def composite(
             rays[..., None, 3:6], (SB, B, K, 3)
         ).reshape(SB, B * K, 3)
 
-    chunk = cfg.eval_batch_size if not training else 0
-    out = _eval_model_chunked(model_fn, points, viewdirs, coarse, chunk)
+    if point_mask is not None and SB == 1 and not training:
+        capacity = max(
+            _round_up(int(cfg.accel_capacity * B * K), 512), 512
+        )
+        out = _eval_model_masked(
+            model_fn,
+            points,
+            viewdirs,
+            coarse,
+            point_mask.reshape(SB, B * K),
+            capacity,
+        )
+    else:
+        chunk = cfg.eval_batch_size if not training else 0
+        out = _eval_model_chunked(model_fn, points, viewdirs, coarse, chunk)
     out = out.reshape(SB, 4, B, K)  # channel-major planes
 
     rgbs = out[:, :3]  # (SB, 3, B, K)
@@ -174,6 +244,11 @@ def composite(
     return weights, rgb_final, depth_final
 
 
+def _sample_points(rays: Array, z_samp: Array) -> Array:
+    """(SB, B, K, 3) world points at the sample depths."""
+    return rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+
+
 @jax.named_scope("renderer_forward")  # nerf.py:264 cut point
 def render_rays(
     model_fn: ModelFn,
@@ -183,9 +258,14 @@ def render_rays(
     want_weights: bool = False,
     training: bool = False,
     use_viewdirs: bool = True,
+    accel=None,  # Optional[accel.OccupancyGrid] — eval-only sample pruning
 ) -> Dict[str, Any]:
     """Full coarse+fine render (reference nerf.py:251-303).
 
+    :param accel: optional per-scene occupancy grid (render/accel.py): coarse
+        samples in verified-empty space and fine samples behind an already
+        opaque surface are pruned before the field MLP (the reference has no
+        equivalent — it evaluates everything, nerf.py:163-249)
     :return: {"coarse": {rgb, depth[, weights]}, "fine": {...}} ("fine" present
         only when cfg.using_fine)
     """
@@ -193,10 +273,17 @@ def render_rays(
     rng_c, rng_noise_c, rng_f, rng_fd, rng_noise_f = jax.random.split(rng, 5)
     SB, B, _ = rays.shape
     flat_rays = rays.reshape(SB * B, 8)
+    use_accel = accel is not None and not training and SB == 1
 
     z_coarse = ray_sampling.sample_coarse(
         flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
     ).reshape(SB, B, cfg.n_coarse)
+
+    mask_c = None
+    if use_accel:
+        from .accel import occupancy_lookup
+
+        mask_c = occupancy_lookup(accel, _sample_points(rays, z_coarse))
 
     weights_c, rgb_c, depth_c = composite(
         model_fn,
@@ -207,6 +294,7 @@ def render_rays(
         rng=rng_noise_c,
         training=training,
         use_viewdirs=use_viewdirs,
+        point_mask=mask_c,
     )
 
     def pack(weights, rgb, depth):
@@ -240,6 +328,33 @@ def render_rays(
             all_samps.append(z_depth)
         z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
 
+        mask_f = None
+        if use_accel:
+            from .accel import occupancy_lookup
+
+            # (a) empty-space test per sample
+            mask_f = occupancy_lookup(accel, _sample_points(rays, z_combine))
+            # (b) occlusion test: coarse-estimated transmittance at the bin
+            # each union sample falls in.  T after coarse bin k is exactly
+            # 1 - sum_{j<=k} w_j (the cumprod telescopes); a union sample in
+            # bin k enters with T_entry = 1 - cumsum(w)[k-1] >= its true T,
+            # so pruning at T_entry < eps is conservative.
+            t_after = 1.0 - jnp.cumsum(weights_c, axis=-1)  # (SB, B, Kc)
+            t_entry = jnp.concatenate(
+                [jnp.ones_like(t_after[..., :1]), t_after[..., :-1]], axis=-1
+            )
+            # bin index: count of coarse z at or below each union z, minus 1
+            # (dense compare-and-sum — same trick as sample_fine)
+            binm1 = jnp.sum(
+                (z_coarse[..., None, :] <= z_combine[..., :, None]).astype(
+                    jnp.int32
+                ),
+                axis=-1,
+            )  # (SB, B, Kf) in [0, Kc]
+            bin_idx = jnp.clip(binm1 - 1, 0, cfg.n_coarse - 1)
+            t_at = jnp.take_along_axis(t_entry, bin_idx, axis=-1)
+            mask_f = mask_f & (t_at > cfg.accel_t_eps)
+
         weights_f, rgb_f, depth_f = composite(
             model_fn,
             rays,
@@ -249,6 +364,7 @@ def render_rays(
             rng=rng_noise_f,
             training=training,
             use_viewdirs=use_viewdirs,
+            point_mask=mask_f,
         )
         outputs["fine"] = pack(weights_f, rgb_f, depth_f)
 
