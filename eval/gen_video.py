@@ -64,6 +64,12 @@ def extra_args(parser):
         choices=["auto", "xla", "pallas"],
         help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
     )
+    parser.add_argument(
+        "--no_accel",
+        action="store_true",
+        help="Disable the per-scene occupancy-grid sample pruning "
+        "(render/accel.py) and composite every sample like the reference",
+    )
     return parser
 
 
@@ -188,6 +194,13 @@ def main():
 
     mesh = make_ray_mesh(len(args.gpu_id)) if len(args.gpu_id) > 1 else None
     pipeline = RenderPipeline(net, renderer, mesh=mesh, simple_output=True)
+
+    # one occupancy grid amortizes over every video frame; pruning only skips
+    # verified-empty space (the reference composites everything).  CPU runs
+    # skip it: the grid build is itself a large field-probe pass that only
+    # pays off at accelerator rates.
+    if not args.no_accel and jax.default_backend() != "cpu":
+        pipeline.build_accel(variables, scene, render_rays_all)
 
     print("Rendering", args.num_views * H * W, "rays")
     rgb_fine, _depth = pipeline.render_simple(

@@ -21,6 +21,7 @@ host loop only for gigantic batches (bounds output-buffer memory).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -287,7 +288,81 @@ class RenderPipeline:
             jnp.asarray(hi),
             jnp.float32(eps_alpha / max(delta, 1e-6)),
         )
+        self._autoselect_capacity(rays_np)
         return self.accel
+
+    def _autoselect_capacity(self, rays_np: np.ndarray, margin: float = 1.15):
+        """Size the static compaction buffers from measured live fractions of
+        ``rays_np`` against the freshly built grid.
+
+        Ray mode (default): a ray is live if ANY coarse-midpoint sample is
+        occupied.  Since compaction runs per render chunk and frames mix
+        object-dense and background-only regions, the capacity must cover the
+        WORST chunk — estimated as the max live fraction over consecutive
+        4096-ray windows.  Sample mode: mean live-sample fraction; the fine
+        union conservatively counts importance samples fully live.
+        Capacities round UP to 1/16 steps with a safety margin; overflowing
+        chunks still fall back to the dense path.
+        """
+        import sys
+
+        from ..render.accel import occupancy_fraction, occupancy_lookup
+
+        cfg = self.renderer.cfg
+        kc = max(cfg.n_coarse, 1)
+        N = rays_np.shape[0]
+        t = (np.arange(kc, dtype=np.float32) + 0.5) / kc
+
+        ray_live = np.empty(N, bool)
+        samp_live_sum = 0.0
+        look = jax.jit(lambda p: occupancy_lookup(self.accel, p))
+        for s in range(0, N, 65536):
+            sub = rays_np[s : s + 65536]
+            z = sub[:, 6:7] + t[None] * (sub[:, 7:8] - sub[:, 6:7])
+            pts = sub[:, None, :3] + z[..., None] * sub[:, None, 3:6]
+            live = np.asarray(look(jnp.asarray(pts)))
+            ray_live[s : s + 65536] = live.any(axis=-1)
+            samp_live_sum += float(live.sum())
+        fc = samp_live_sum / (N * kc)
+        win = min(4096, N)
+        n_win = max(N // win, 1)
+        fr_windows = (
+            ray_live[: n_win * win].reshape(n_win, win).mean(axis=1)
+        )
+        fr = float(fr_windows.max())
+
+        def quantize(frac: float) -> float:
+            q = np.ceil(min(frac * margin, 1.0) * 16) / 16
+            return float(np.clip(q, 0.0625, 1.0))
+
+        cap_r = quantize(fr)
+        cap_c = quantize(fc)
+        cap_f = None
+        if cfg.using_fine:
+            k_union = kc + cfg.n_fine
+            cap_f = quantize((kc * fc + cfg.n_fine) / k_union)
+        print(
+            f"accel: occupancy {occupancy_fraction(self.accel):.3f}, "
+            f"ray live max/mean {fr:.3f}/{ray_live.mean():.3f} -> "
+            f"ray capacity {cap_r}; sample live {fc:.3f} -> "
+            f"capacities {cap_c}/{cap_f}",
+            file=sys.stderr,
+        )
+        key_cap = cap_r if cfg.accel_mode == "rays" else cap_c
+        if key_cap >= 0.95:
+            # nothing to prune — compaction would be pure overhead
+            print(
+                "accel: grid nearly fully occupied; disabling pruning",
+                file=sys.stderr,
+            )
+            self.accel = None
+            return
+        self.renderer.base_cfg = dataclasses.replace(
+            self.renderer.base_cfg,
+            accel_capacity_rays=cap_r,
+            accel_capacity=cap_c,
+            accel_capacity_fine=cap_f,
+        )
 
     def render(
         self,

@@ -49,11 +49,22 @@ class RenderConfig:
     white_bkgd: bool = False
     lindisp: bool = False
     sched: Optional[Tuple[Tuple[int, ...], ...]] = None
-    # --- occupancy-grid sample pruning (render/accel.py; eval-only) ---
-    # static compaction capacity as a fraction of the chunk's point count;
-    # chunks with more live points than this fall back to the dense path
-    # (lax.cond), so results are never wrong, only occasionally unpruned
+    # --- occupancy-grid pruning (render/accel.py; eval-only) ---
+    # "rays": compact away rays whose every coarse sample lands in verified-
+    #   empty space — compaction traffic at ray granularity (~B elements) is
+    #   ~100x cheaper than per-sample gathers, and miss rays dominate object-
+    #   centric renders.  "samples": per-sample compaction through the field
+    #   (wins only when the live fraction is far below the ~40% break-even of
+    #   the measured 25-40 ms/Mpt gather+scatter overhead; docs/PERFORMANCE.md)
+    accel_mode: str = "rays"
+    # static compaction capacities as a fraction of the chunk; chunks with
+    # more live elements fall back to the dense path (lax.cond), so results
+    # are never wrong, only occasionally unpruned
+    accel_capacity_rays: float = 0.5
     accel_capacity: float = 0.5
+    # separate capacity for the fine pass (importance samples concentrate on
+    # surfaces, so its live fraction is higher); None = use accel_capacity
+    accel_capacity_fine: Optional[float] = None
     # fine-pass transmittance floor: samples entered with coarse-estimated
     # T below this are occluded behind the surface and pruned
     accel_t_eps: float = 1e-4
@@ -86,7 +97,12 @@ class RenderConfig:
             lindisp=conf.get_bool("lindisp", lindisp),
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
+            accel_mode=conf.get_string("accel_mode", "rays"),
+            accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
+            accel_capacity_fine=(
+                conf.get_float("accel_capacity_fine", 0.0) or None
+            ),
             accel_t_eps=conf.get_float("accel_t_eps", 1e-4),
         )
 
@@ -160,8 +176,13 @@ def _eval_model_masked(
             else None
         )
         out = model_fn(pts, dirs, coarse)  # (1, 4, capacity)
-        full = jnp.zeros((1, 4, P), out.dtype)
-        return full.at[0, :, idx].set(out[0], mode="drop")
+        full = jnp.zeros((4, P), out.dtype)
+        # single advanced index keeps its axis position: value shape (4, cap).
+        # nonzero's output is strictly increasing and unique — the hints let
+        # XLA lower the scatter without the general serialized path
+        return full.at[:, idx].set(
+            out[0], mode="drop", unique_indices=True, indices_are_sorted=True
+        )[None]
 
     def dense(_):
         return model_fn(points, viewdirs, coarse)
@@ -205,9 +226,12 @@ def composite(
         ).reshape(SB, B * K, 3)
 
     if point_mask is not None and SB == 1 and not training:
-        capacity = max(
-            _round_up(int(cfg.accel_capacity * B * K), 512), 512
+        cap_frac = (
+            cfg.accel_capacity
+            if coarse
+            else (cfg.accel_capacity_fine or cfg.accel_capacity)
         )
+        capacity = max(_round_up(int(cap_frac * B * K), 512), 512)
         out = _eval_model_masked(
             model_fn,
             points,
@@ -249,6 +273,90 @@ def _sample_points(rays: Array, z_samp: Array) -> Array:
     return rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
 
 
+@jax.named_scope("renderer_ray_compaction")
+def _render_rays_ray_compacted(
+    model_fn: ModelFn,
+    rays: Array,  # (1, B, 8)
+    rng: Array,
+    cfg: RenderConfig,
+    want_weights: bool,
+    use_viewdirs: bool,
+    accel,
+) -> Dict[str, Any]:
+    """Ray-level occupancy pruning: rays whose EVERY coarse sample lands in
+    verified-empty space render to pure background without touching the field.
+
+    Live rays are compacted into a ``cfg.accel_capacity_rays``-sized buffer,
+    rendered by the dense path, and scattered back (background fill for the
+    pruned rays).  Compaction traffic is at ray granularity — per-SAMPLE
+    gathers measured 25-40 ms/Mpt on this part (docs/PERFORMANCE.md), which
+    eats the pruning win; per-ray gathers are ~K times smaller.  A chunk with
+    more live rays than capacity renders dense via ``lax.cond`` (never wrong,
+    only unpruned).  The reference has no equivalent (nerf.py:163-249).
+    """
+    from .accel import occupancy_lookup
+
+    _, B, _ = rays.shape
+    capacity = min(max(_round_up(int(cfg.accel_capacity_rays * B), 256), 256), B)
+
+    if capacity >= B:
+        return render_rays(
+            model_fn, rays, rng, cfg,
+            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+        )
+
+    # draw the coarse z with the SAME key the dense path would (split below
+    # mirrors render_rays), probe occupancy at the actual sample points, and
+    # hand the draw back in — the dense fallback branch is then bit-identical
+    # to a plain dense render, and kept rays keep their exact z samples
+    rng_c = jax.random.split(rng, 5)[0]
+    flat = rays[0]
+    z_full = ray_sampling.sample_coarse(
+        flat, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
+    )
+    live = jnp.any(
+        occupancy_lookup(accel, _sample_points(rays, z_full[None])), axis=-1
+    )[0]
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    bg = 1.0 if cfg.white_bkgd else 0.0
+    fills = {"rgb": bg, "depth": 0.0, "weights": 0.0}
+
+    def dense(_):
+        return render_rays(
+            model_fn, rays, rng, cfg,
+            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+            z_coarse=z_full[None],
+        )
+
+    def compacted(_):
+        idx = jnp.nonzero(live, size=capacity, fill_value=B)[0]
+        crays = jnp.take(flat, idx, axis=0, mode="clip")[None]
+        cz = jnp.take(z_full, idx, axis=0, mode="clip")[None]
+        out = render_rays(
+            model_fn, crays, rng, cfg,
+            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+            z_coarse=cz,
+        )
+
+        def scatter(head):
+            return {
+                k: jnp.full((1, B) + v.shape[2:], fills[k], v.dtype)
+                .at[0, idx]
+                .set(
+                    v[0],
+                    mode="drop",
+                    unique_indices=True,
+                    indices_are_sorted=True,
+                )
+                for k, v in head.items()
+            }
+
+        return {k: scatter(v) for k, v in out.items()}
+
+    return jax.lax.cond(n_live <= capacity, compacted, dense, None)
+
+
 @jax.named_scope("renderer_forward")  # nerf.py:264 cut point
 def render_rays(
     model_fn: ModelFn,
@@ -259,25 +367,33 @@ def render_rays(
     training: bool = False,
     use_viewdirs: bool = True,
     accel=None,  # Optional[accel.OccupancyGrid] — eval-only sample pruning
+    z_coarse: Optional[Array] = None,  # (SB, B, Kc) precomputed coarse draw
 ) -> Dict[str, Any]:
     """Full coarse+fine render (reference nerf.py:251-303).
 
-    :param accel: optional per-scene occupancy grid (render/accel.py): coarse
-        samples in verified-empty space and fine samples behind an already
-        opaque surface are pruned before the field MLP (the reference has no
-        equivalent — it evaluates everything, nerf.py:163-249)
+    :param accel: optional per-scene occupancy grid (render/accel.py): whole
+        rays through verified-empty space (accel_mode="rays"), or individual
+        samples in empty space / behind an opaque surface ("samples"), are
+        pruned before the field MLP (the reference has no equivalent — it
+        evaluates everything, nerf.py:163-249)
     :return: {"coarse": {rgb, depth[, weights]}, "fine": {...}} ("fine" present
         only when cfg.using_fine)
     """
     assert rays.ndim == 3
-    rng_c, rng_noise_c, rng_f, rng_fd, rng_noise_f = jax.random.split(rng, 5)
     SB, B, _ = rays.shape
-    flat_rays = rays.reshape(SB * B, 8)
     use_accel = accel is not None and not training and SB == 1
+    if use_accel and cfg.accel_mode == "rays":
+        return _render_rays_ray_compacted(
+            model_fn, rays, rng, cfg, want_weights, use_viewdirs, accel
+        )
 
-    z_coarse = ray_sampling.sample_coarse(
-        flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
-    ).reshape(SB, B, cfg.n_coarse)
+    rng_c, rng_noise_c, rng_f, rng_fd, rng_noise_f = jax.random.split(rng, 5)
+    flat_rays = rays.reshape(SB * B, 8)
+
+    if z_coarse is None:
+        z_coarse = ray_sampling.sample_coarse(
+            flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
+        ).reshape(SB, B, cfg.n_coarse)
 
     mask_c = None
     if use_accel:

@@ -1,0 +1,306 @@
+"""Occupancy-grid sample pruning tests (render/accel.py + the masked
+compaction path in render/renderer.py).
+
+The reference has no acceleration structure — it composites every sample of
+every ray (/root/reference/src/render/nerf.py:163-249) — so these tests gate a
+pure addition: pruned renders must match dense renders to tight tolerances
+(pruning only ever removes verified-empty / fully-occluded samples).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelnerf_tpu.render import RenderConfig, render_rays
+from pixelnerf_tpu.render.accel import (
+    OccupancyGrid,
+    aabb_from_rays,
+    build_occupancy_grid,
+    occupancy_fraction,
+    occupancy_lookup,
+)
+
+SPHERE_R = 0.4
+SIGMA_IN = 60.0
+
+
+def sphere_field(points, viewdirs, coarse):
+    """Analytic field: opaque colored sphere of radius SPHERE_R at the origin.
+
+    Matches the renderer's model_fn contract: (SB, P, 3) -> (SB, 4, P)
+    channel-major [r, g, b, sigma].  sigma is EXACTLY zero outside the sphere,
+    so pruned empty-space samples contribute exactly nothing.
+    """
+    r2 = jnp.sum(points * points, axis=-1)  # (SB, P)
+    inside = (r2 < SPHERE_R * SPHERE_R).astype(points.dtype)
+    rgb = 0.5 + 0.5 * jnp.tanh(points)  # position-dependent color
+    sigma = SIGMA_IN * inside
+    return jnp.concatenate(
+        [jnp.transpose(rgb, (0, 2, 1)), sigma[:, None, :]], axis=1
+    )
+
+
+def camera_rays(B=256, seed=0, near=0.8, far=2.0, cam_dist=1.4):
+    """Rays from points on a camera ring toward (jittered) origin."""
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, B)
+    phi = rng.uniform(-0.5, 0.5, B)
+    o = cam_dist * np.stack(
+        [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)],
+        axis=-1,
+    ).astype(np.float32)
+    target = rng.uniform(-0.55, 0.55, (B, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nears = np.full((B, 1), near, np.float32)
+    fars = np.full((B, 1), far, np.float32)
+    return np.concatenate([o, d, nears, fars], axis=-1)
+
+
+def build_sphere_grid(rays, resolution=48, dilate=1):
+    lo, hi = aabb_from_rays(rays)
+    return build_occupancy_grid(
+        sphere_field,
+        lo,
+        hi,
+        resolution=resolution,
+        sigma_thresh=1e-2,
+        dilate=dilate,
+        use_fine=False,
+        use_viewdirs=False,
+    )
+
+
+def test_aabb_from_rays():
+    rays = camera_rays(64)
+    lo, hi = aabb_from_rays(rays)
+    o, d = rays[:, :3], rays[:, 3:6]
+    for t in (rays[:, 6], rays[:, 7]):
+        p = o + t[:, None] * d
+        assert (p >= lo - 1e-5).all() and (p <= hi + 1e-5).all()
+
+
+def test_build_grid_matches_analytic_sphere():
+    rays = camera_rays(128)
+    grid = build_sphere_grid(rays, resolution=48, dilate=1)
+    frac = occupancy_fraction(grid)
+    # sphere volume / AABB volume is small; with one dilation round still far
+    # below half occupancy, and non-trivially nonzero
+    assert 0.001 < frac < 0.25, frac
+
+    # voxel-center ground truth: occupied iff within one dilated voxel of the
+    # sphere.  Check well-inside points live, far-outside points are skipped.
+    pts_in = np.random.default_rng(1).uniform(-0.2, 0.2, (64, 3)).astype(
+        np.float32
+    )
+    occ_in = np.asarray(occupancy_lookup(grid, jnp.asarray(pts_in[None])))
+    assert occ_in.all()
+
+    pts_out = np.array(
+        [[0.9, 0.9, 0.9], [-0.9, 0.8, 0.0], [0.0, -0.95, 0.3]], np.float32
+    )
+    occ_out = np.asarray(occupancy_lookup(grid, jnp.asarray(pts_out[None])))
+    assert not occ_out.any()
+
+
+def test_lookup_outside_box_is_conservative():
+    grid = OccupancyGrid(
+        occ=jnp.zeros((8,), jnp.float32),
+        lo=jnp.zeros((3,)),
+        inv_cell=jnp.full((3,), 2.0),
+        resolution=2,
+    )
+    pts = jnp.asarray([[[-1.0, 0.5, 0.5], [0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]])
+    occ = np.asarray(occupancy_lookup(grid, pts))
+    # outside the box -> conservatively occupied; inside an empty grid -> skip
+    np.testing.assert_array_equal(occ[0], [True, False, True])
+
+
+def _render(rays, cfg, accel=None, seed=3):
+    out = jax.jit(
+        lambda r, k: render_rays(
+            sphere_field,
+            r,
+            k,
+            cfg,
+            want_weights=True,
+            use_viewdirs=False,
+            accel=accel,
+        )
+    )(jnp.asarray(rays[None]), jax.random.PRNGKey(seed))
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+def test_sample_pruned_render_matches_dense():
+    """Per-sample pruning with an exact-zero-outside field must reproduce the
+    dense render to float tolerance (identical compositing of live samples)."""
+    rays = camera_rays(256)
+    grid = build_sphere_grid(rays)
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="samples", accel_capacity=0.6,
+    )
+    dense = _render(rays, cfg, accel=None)
+    pruned = _render(rays, cfg, accel=grid)
+    for head in ("coarse", "fine"):
+        np.testing.assert_allclose(
+            pruned[head]["rgb"], dense[head]["rgb"], atol=2e-3
+        )
+        np.testing.assert_allclose(
+            pruned[head]["depth"], dense[head]["depth"], atol=5e-3
+        )
+    # PSNR-style bound on the fine head (the eval output)
+    mse = float(np.mean((pruned["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 50.0, psnr
+
+
+def test_ray_pruned_render_matches_dense():
+    """Ray-level compaction (default accel_mode): miss rays composite to the
+    exact background the dense path produces (sigma is exactly zero outside
+    the sphere), and kept rays reuse the identical coarse z draw — the coarse
+    head must match tightly, the fine head (whose importance draw differs in
+    shape) to >= 40 dB."""
+    rays = camera_rays(1024)
+    grid = build_sphere_grid(rays)
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="rays", accel_capacity_rays=0.75,
+    )
+    dense = _render(rays, cfg, accel=None)
+    pruned = _render(rays, cfg, accel=grid)
+    np.testing.assert_allclose(
+        pruned["coarse"]["rgb"], dense["coarse"]["rgb"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        pruned["coarse"]["depth"], dense["coarse"]["depth"], atol=5e-3
+    )
+    mse = float(np.mean((pruned["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+
+
+@pytest.mark.parametrize("mode", ["rays", "samples"])
+def test_capacity_overflow_falls_back_to_dense(mode):
+    """A chunk with more live elements than capacity must take the lax.cond
+    dense path and return bit-identical results."""
+    rays = camera_rays(512)
+    # all-occupied grid -> live count = everything > tiny capacity
+    lo, hi = aabb_from_rays(rays)
+    grid = OccupancyGrid(
+        occ=jnp.ones((16**3,), jnp.float32),
+        lo=jnp.asarray(lo),
+        inv_cell=16.0 / (jnp.asarray(hi) - jnp.asarray(lo)),
+        resolution=16,
+    )
+    cfg = RenderConfig(
+        n_coarse=16, n_fine=8, accel_mode=mode,
+        accel_capacity=0.01, accel_capacity_rays=0.25,
+    )
+    dense = _render(rays, cfg, accel=None)
+    via_fallback = _render(rays, cfg, accel=grid)
+    # same math modulo XLA refusion inside the cond branch
+    np.testing.assert_allclose(
+        via_fallback["fine"]["rgb"], dense["fine"]["rgb"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_all_occupied_grid_exactness():
+    """An all-occupied grid prunes nothing: compacted eval (capacity >= live
+    count) must equal the dense path to float tolerance."""
+    rays = camera_rays(48)
+    lo, hi = aabb_from_rays(rays)
+    grid = OccupancyGrid(
+        occ=jnp.ones((8**3,), jnp.float32),
+        lo=jnp.asarray(lo),
+        inv_cell=8.0 / (jnp.asarray(hi) - jnp.asarray(lo)),
+        resolution=8,
+    )
+    cfg = RenderConfig(n_coarse=16, accel_mode="samples", accel_capacity=1.0)
+    dense = _render(rays, cfg, accel=None)
+    pruned = _render(rays, cfg, accel=grid)
+    np.testing.assert_allclose(
+        pruned["coarse"]["rgb"], dense["coarse"]["rgb"], atol=1e-5
+    )
+
+
+def test_training_and_superbatch_ignore_accel():
+    """accel is eval-only (SB == 1, training=False); other paths must render
+    identically with or without a grid."""
+    rays = np.stack([camera_rays(32, seed=s) for s in (5, 6)])  # SB=2
+    grid = build_sphere_grid(rays.reshape(-1, 8))
+    cfg = RenderConfig(n_coarse=16, n_fine=8)
+    a = _render(rays.reshape(2, 32, 8)[0], cfg, accel=None)  # smoke dense
+
+    out_nog = jax.jit(
+        lambda r, k: render_rays(
+            sphere_field, r, k, cfg, use_viewdirs=False, accel=None
+        )
+    )(jnp.asarray(rays), jax.random.PRNGKey(0))
+    out_grid = jax.jit(
+        lambda r, k: render_rays(
+            sphere_field, r, k, cfg, use_viewdirs=False, accel=grid
+        )
+    )(jnp.asarray(rays), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(out_grid["fine"]["rgb"]), np.asarray(out_nog["fine"]["rgb"])
+    )
+    assert np.isfinite(a["coarse"]["rgb"]).all()
+
+
+def test_pipeline_build_accel_and_render(monkeypatch):
+    """End-to-end: RenderPipeline.build_accel on the real conditioned net,
+    then render_simple with pruning enabled — finite output, close to the
+    dense render, and PIXELNERF_ACCEL=0 disables the grid."""
+    from pixelnerf_tpu.config import hocon
+    from pixelnerf_tpu.data import SyntheticDataset
+    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.parallel import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+    from pixelnerf_tpu.utils import geometry
+
+    conf = hocon.parse_file("conf/exp/sn64.conf")
+    net = make_model(conf["model"], mlp_impl="xla")
+    ds = SyntheticDataset(n_objs=1, n_views=2, image_size=16)
+    sample = ds[0]
+    focal = np.float32(sample["focal"])
+    imgs = jnp.asarray(sample["images"][None, :1])
+    poses = jnp.asarray(sample["poses"][None, :1])
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        imgs,
+        poses,
+        jnp.asarray(focal),
+        jnp.zeros((1, 8, 3), jnp.float32),
+        jnp.zeros((1, 8, 3), jnp.float32),
+    )
+    scene = net.apply(
+        variables, imgs, poses, jnp.asarray(focal), method=PixelNeRFNet.encode
+    )
+    renderer = NeRFRenderer(RenderConfig(n_coarse=8, n_fine=4))
+    pipeline = RenderPipeline(net, renderer, simple_output=True)
+    rays = np.asarray(
+        geometry.gen_rays_np(
+            sample["poses"][1:2], 16, 16, float(focal), 0.8, 1.8
+        )
+    ).reshape(-1, 8)
+
+    rgb_dense, _ = pipeline.render_simple(
+        variables, scene, rays, jax.random.PRNGKey(1), ray_batch_size=256
+    )
+
+    pipeline.build_accel(variables, scene, rays, resolution=16, n_dir_probes=1)
+    # a random-init net's grid may be near-fully occupied, in which case
+    # autoselect disables pruning (accel None) — both outcomes must render
+    rgb_pruned, _ = pipeline.render_simple(
+        variables, scene, rays, jax.random.PRNGKey(1), ray_batch_size=256
+    )
+    assert np.isfinite(np.asarray(rgb_pruned)).all()
+    # random-init net: grid is near-fully occupied, render must stay close
+    diff = float(np.max(np.abs(np.asarray(rgb_pruned) - np.asarray(rgb_dense))))
+    assert diff < 0.05, diff
+
+    monkeypatch.setenv("PIXELNERF_ACCEL", "0")
+    assert pipeline.build_accel(variables, scene, rays) is None
+    assert pipeline.accel is None
