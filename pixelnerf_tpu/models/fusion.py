@@ -104,13 +104,28 @@ class SmartFeatureFusion(nn.Module):
 
 class AdaptiveFeatureSampler(nn.Module):
     """Quality-gated scale weighting (static-shape analog of the torch top-k
-    selection, feature_fusion.py:182-231)."""
+    selection, feature_fusion.py:182-231).
+
+    Two surfaces (PARITY.md "AdaptiveFeatureSampler"):
+
+    * ``__call__`` — jit-friendly soft gate: each scale is weighted by
+      ``quality * (quality >= threshold)`` (renormalized, best scale always
+      kept).  The *kept set* (gate > 0) equals the reference's hard
+      selection; kept features are additionally quality-weighted, which the
+      reference does not do (it forwards them unscaled).
+    * ``__call__(..., return_q=True)`` + :meth:`select` — the reference's
+      exact eval-time semantics: compute qualities on device, then
+      hard-select feature subsets host-side with data-dependent control
+      flow (descending quality sort, optional ``top_k`` cap, >= threshold,
+      at least the single best kept; like the reference, decisions read
+      batch element 0, feature_fusion.py:214-216 ``.item()``).
+    """
 
     feature_dim: int
     quality_threshold: float = 0.3
 
     @nn.compact
-    def __call__(self, features: List[Array]) -> List[Array]:
+    def __call__(self, features: List[Array], return_q: bool = False):
         qualities = []
         for i, feat in enumerate(features):
             pooled = jnp.mean(feat, axis=(1, 2))  # (B, C_i)
@@ -122,6 +137,8 @@ class AdaptiveFeatureSampler(nn.Module):
             q = nn.sigmoid(nn.Dense(1, name=f"quality_fc2_{i}")(h))  # (B, 1)
             qualities.append(q)
         q = jnp.concatenate(qualities, axis=-1)  # (B, n)
+        if return_q:
+            return q
         keep = (q >= self.quality_threshold).astype(q.dtype)
         # the best scale is always kept (feature_fusion.py:224-229)
         best = jnp.argmax(q, axis=-1)
@@ -133,9 +150,38 @@ class AdaptiveFeatureSampler(nn.Module):
             keep, axis=-1, keepdims=True
         )
         return [
-            feat * gate[:, i, None, None, None][..., 0]
+            feat * gate[:, i][:, None, None, None]
             for i, feat in enumerate(features)
         ]
+
+    @staticmethod
+    def select(
+        features: List[Array],
+        qualities,
+        top_k: Optional[int] = None,
+        quality_threshold: float = 0.3,
+    ):
+        """Reference hard selection (feature_fusion.py:182-231), host-side.
+
+        :param qualities: (B, N) scores from ``__call__(..., return_q=True)``
+        :return: (selected feature list, selected indices) — order is by
+            DESCENDING quality, exactly like the reference.
+        """
+        import numpy as np
+
+        q = np.asarray(qualities)
+        order = np.argsort(-q[0], kind="stable")  # element 0, like .item()
+        sel_feats, sel_idx = [], []
+        for idx in order:
+            if top_k is not None and len(sel_feats) >= top_k:
+                break
+            if q[0, idx] >= quality_threshold:
+                sel_feats.append(features[idx])
+                sel_idx.append(int(idx))
+        if not sel_feats:  # at least the best one (feature_fusion.py:224-229)
+            sel_feats.append(features[order[0]])
+            sel_idx.append(int(order[0]))
+        return sel_feats, sel_idx
 
 
 class MultiScaleFusionModule(nn.Module):

@@ -714,3 +714,86 @@ model {
     np.testing.assert_allclose(out, ref, atol=3e-3)
     cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert cc > 0.9999
+
+
+def test_adaptive_sampler_select_matches_reference_semantics():
+    """AdaptiveFeatureSampler.select must reproduce the reference's hard
+    top-k/threshold selection (feature_fusion.py:182-231): descending-quality
+    order, top_k cap, >= threshold, at-least-one fallback — and the soft
+    gate's kept set (gate > 0) must equal the same selection."""
+    from pixelnerf_tpu.models import AdaptiveFeatureSampler
+
+    def reference_select(n, q_row, top_k, thresh):
+        # independent oracle of the torch control flow (sorted descending,
+        # .item() on batch element 0)
+        order = sorted(range(n), key=lambda i: -q_row[i])
+        out = []
+        for idx in order:
+            if top_k is not None and len(out) >= top_k:
+                break
+            if q_row[idx] >= thresh:
+                out.append(idx)
+        if not out:
+            out.append(order[0])
+        return out
+
+    rng = np.random.default_rng(0)
+    feats = [
+        jnp.asarray(rng.normal(size=(2, 4, 4, c)).astype(np.float32))
+        for c in (8, 16, 32)
+    ]
+    sampler = AdaptiveFeatureSampler(feature_dim=32, quality_threshold=0.3)
+    variables = sampler.init(jax.random.PRNGKey(0), feats)
+    q = np.asarray(sampler.apply(variables, feats, return_q=True))
+    assert q.shape == (2, 3)
+
+    for q_row, top_k, thresh in [
+        (np.array([0.9, 0.1, 0.5]), None, 0.3),
+        (np.array([0.9, 0.6, 0.5]), 2, 0.3),
+        (np.array([0.1, 0.05, 0.2]), None, 0.3),  # none pass -> best kept
+        (np.array([0.4, 0.8, 0.35]), 1, 0.3),
+    ]:
+        qq = np.stack([q_row, q_row])
+        sel_feats, sel_idx = AdaptiveFeatureSampler.select(
+            feats, qq, top_k=top_k, quality_threshold=thresh
+        )
+        expect = reference_select(3, q_row, top_k, thresh)
+        assert sel_idx == expect, (sel_idx, expect)
+        for f, i in zip(sel_feats, sel_idx):
+            assert f is feats[i]
+
+    # soft gate kept-set == hard selection (no top_k in the gate)
+    gated = sampler.apply(variables, feats)
+    kept_soft = [
+        i
+        for i, g in enumerate(gated)
+        if float(np.abs(np.asarray(g)).max()) > 0
+    ]
+    sel_feats, sel_idx = AdaptiveFeatureSampler.select(
+        feats, q, quality_threshold=0.3
+    )
+    assert sorted(sel_idx) == kept_soft, (sel_idx, kept_soft)
+
+
+def test_pixelnerf_adaptive_sampling_path():
+    """use_adaptive_sampling gates each multi-scale latent before fusion
+    (encode path pixelnerf.py:218-219); must run end-to-end under jit."""
+    conf_text = SMALL_CONF.replace(
+        "use_first_pool = False }",
+        "use_first_pool = False\n use_multi_scale = True }\n"
+        "    use_smart_fusion = True\n    use_adaptive_sampling = True\n"
+        "    quality_threshold = 0.3",
+    )
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net(
+        conf_text, SB=1, NS=1, H=32, W=32, B=5
+    )
+    scene = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    out = net.apply(
+        variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    )
+    assert out.shape == (1, 5, 4)
+    assert np.isfinite(np.asarray(out)).all()
