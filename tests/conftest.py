@@ -25,3 +25,9 @@ jax.config.update("jax_enable_x64", False)
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.device_count() == 8, jax.device_count()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (trained-checkpoint parity etc.)"
+    )
