@@ -1,239 +1,546 @@
-"""Blender multi-object ShapeNet scene renderer (capability parity with the
-reference scripts/render_shapenet.py:1-785).
+"""Blender ShapeNet scene renderer (parity with the reference
+scripts/render_shapenet.py:1-785, flag surface :594-724).
 
-Run inside Blender:  blender --background --python scripts/render_shapenet.py --
-    --shapenet <ShapeNetCore dir> --out <out dir> [--n_scenes N] [--n_objects K]
-    [--views_train 50 --views_test 25] [--res 64] [--engine CYCLES|BLENDER_EEVEE]
+Renders single- or two-object ShapeNet scenes: train views from noisy
+hemisphere bins, val/test views on the SRN Archimedes spiral
+(:492-500), writing ``view_###`` images plus NeRF-format
+``transforms.json`` (:516-522) per instance — the layout the
+``multi_obj`` data adapter consumes.  Supports Cycles PBR with HDRI
+environment lighting, alpha / depth / background compositor passes,
+GPU device selection, resumable ``--overwrite`` semantics, and a
+process-pool parallel mode (:726-763).
 
-Per scene: samples K meshes, drops them on a plane without overlap, renders
-train views from noisy hemisphere bins and val/test views on an Archimedes
-spiral (the reference's split design, render_shapenet.py:492-500), and writes
-NeRF-format ``transforms.json`` (:516-522) consumed by the ``multi_obj`` data
-adapter, plus split list files.
+Run inside Blender:
+    blender --background --python scripts/render_shapenet.py -- \
+        --out_dir out --src_model_dir /data/ShapeNet/03001627 --split train
+
+The camera-path math, split bookkeeping, and transforms.json writer are
+pure Python (no bpy) so they can be dry-run tested:
+    RENDER_SHAPENET_DRYRUN=1 python scripts/render_shapenet.py --out_dir ...
+writes placeholder images + real camera transforms without Blender.
 """
 
 import argparse
+import glob
 import json
 import math
 import os
-import random
+import os.path as osp
 import sys
+import time
+
+import numpy as np
 
 try:
     import bpy
     from mathutils import Vector
-except ImportError:  # running outside Blender
+except ImportError:  # outside Blender
     bpy = None
 
+OBJ_IDS = dict(
+    table="04379243",
+    chair="03001627",
+    mug="03797390",
+    bench="02828884",
+    lamp="03636649",
+    bowl="02880940",
+)
 
-def parse_args():
-    argv = sys.argv
-    argv = argv[argv.index("--") + 1 :] if "--" in argv else []
-    p = argparse.ArgumentParser()
-    p.add_argument("--shapenet", type=str, required=True)
-    p.add_argument("--out", type=str, required=True)
-    p.add_argument("--n_scenes", type=int, default=10)
-    p.add_argument("--n_objects", type=int, default=2)
-    p.add_argument("--views_train", type=int, default=50)
-    p.add_argument("--views_test", type=int, default=25)
-    p.add_argument("--res", type=int, default=64)
-    p.add_argument("--fov_deg", type=float, default=51.0)
-    p.add_argument("--radius", type=float, default=2.0)
-    p.add_argument("--engine", type=str, default="BLENDER_EEVEE")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--depth", action="store_true", help="also write depth passes")
-    return p.parse_args(argv)
+PITCH_RANGE = (0.0, math.radians(80))
 
 
-def reset_scene():
-    bpy.ops.wm.read_factory_settings(use_empty=True)
+# ---------------------------------------------------------------------------
+# Pure helpers (no bpy) — camera paths, splits, transforms.json
+# ---------------------------------------------------------------------------
 
 
-def setup_render(args):
+def camera_path_angles(split: str, n_views: int, rng) -> "np.ndarray":
+    """Per-view (euler_x, euler_z) — train: binned hemisphere + noise; val /
+    test: Archimedes spiral (reference render_views :492-503)."""
+    euler_zs = 6 * np.pi * np.arange(n_views) / n_views
+    if split == "train":
+        euler_xs = rng.uniform(*PITCH_RANGE, size=(n_views,))
+        euler_zs = euler_zs + rng.uniform(np.pi / n_views, size=(n_views,))
+    else:
+        euler_xs = (
+            np.arange(n_views) / n_views * (PITCH_RANGE[1] - PITCH_RANGE[0])
+        )
+    return np.stack([euler_xs, np.zeros(n_views), euler_zs], axis=-1)
+
+
+def orbit_camera_matrix(rot_euler, camera_loc, lookat):
+    """World matrix of a camera parented to an empty at ``lookat`` rotated by
+    ``rot_euler`` (XYZ), tracking the empty — the numpy twin of the bpy
+    TrackTo rig (reference :83-110) used for the dry run."""
+    ex, _, ez = rot_euler
+    cx, sx = math.cos(ex), math.sin(ex)
+    cz, sz = math.cos(ez), math.sin(ez)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    pos = np.asarray(lookat) + Rz @ Rx @ (
+        np.asarray(camera_loc) - np.asarray(lookat)
+    )
+    # -Z toward lookat, Y up (Blender camera convention)
+    fwd = np.asarray(lookat) - pos
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-8:
+        right = np.array([1.0, 0.0, 0.0])
+    right = right / np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    M = np.eye(4)
+    M[:3, 0] = right
+    M[:3, 1] = true_up
+    M[:3, 2] = -fwd
+    M[:3, 3] = pos
+    return M
+
+
+def _load_split_txt(path):
+    with open(path, "r") as f:
+        return [str(s.split()[0]) for s in f.readlines() if s.strip()]
+
+
+def get_split(args):
+    """Deterministic train/val/test instance split, persisted as
+    ``{split}_split_{n}.txt`` next to the models (reference :535-592)."""
+    object_dir = args.src_model_dir
+    models_all = sorted(
+        subd for subd in glob.glob(f"{object_dir}/*") if osp.isdir(subd)
+    )
+    n_total = len(models_all)
+    n_val = int(args.val_frac * n_total)
+    n_test = int(args.test_frac * n_total)
+    n_train = n_total - (n_val + n_test)
+
+    paths = {
+        "train": osp.join(object_dir, f"train_split_{n_train}.txt"),
+        "val": osp.join(object_dir, f"val_split_{n_val}.txt"),
+        "test": osp.join(object_dir, f"test_split_{n_test}.txt"),
+    }
+    if not all(osp.isfile(p) for p in paths.values()):
+        permute = np.random.permutation(n_total)
+        chunks = {
+            "train": permute[:n_train],
+            "val": permute[n_train : n_train + n_val],
+            "test": permute[n_train + n_val :],
+        }
+        for split, ids in chunks.items():
+            with open(paths[split], "w") as f:
+                f.write("\n".join(models_all[i] for i in ids))
+    if args.split not in paths:
+        raise NotImplementedError(args.split)
+    return _load_split_txt(paths[args.split])
+
+
+def write_transforms(out_dir, frames, model_dirs, camera_angle_x):
+    payload = {
+        "frames": frames,
+        "model_ids": [osp.basename(d) for d in model_dirs],
+        "camera_angle_x": camera_angle_x,
+    }
+    with open(osp.join(out_dir, "transforms.json"), "w") as f:
+        json.dump(payload, f, indent=1, separators=(",", ":"))
+
+
+def scene_camera_setup(n_models):
+    """(camera_loc, lookat) for 1- or 2-object scenes (reference :285-325)."""
+    if n_models == 1:
+        return np.array((0.0, 4.0, 0.0)), np.zeros(3)
+    if n_models == 2:
+        return np.array((0.0, 6.0, 0.0)), np.zeros(3)
+    raise NotImplementedError("only 1- or 2-object scenes (reference :324)")
+
+
+# ---------------------------------------------------------------------------
+# bpy-dependent rendering
+# ---------------------------------------------------------------------------
+
+
+def _import_object(model_dir, model_path):
+    before = set(bpy.data.objects)
+    path = osp.join(model_dir, model_path)
+    bpy.ops.wm.obj_import(filepath=path, forward_axis="NEGATIVE_Z", up_axis="Y")
+    new = [o for o in bpy.data.objects if o not in before and o.type == "MESH"]
+    root = new[0]
+    bb = [list(v) for v in root.bound_box]
+    return root, (bb[0], bb[6])
+
+
+def _add_camera(camera_loc, lookat, fov_x=None):
+    cam_data = bpy.data.cameras.new("cam")
+    if fov_x is not None:
+        cam_data.angle_x = fov_x
+    cam = bpy.data.objects.new("cam", cam_data)
+    bpy.context.scene.collection.objects.link(cam)
+    bpy.context.scene.camera = cam
+    # TrackTo rig: empty at lookat, camera parented to it (reference :83-110)
+    empty = bpy.data.objects.new("track_to", None)
+    empty.location = Vector(lookat)
+    bpy.context.scene.collection.objects.link(empty)
+    cam.parent = empty
+    cam.location = Vector(np.asarray(camera_loc) - np.asarray(lookat))
+    con = cam.constraints.new(type="TRACK_TO")
+    con.target = empty
+    con.track_axis = "TRACK_NEGATIVE_Z"
+    con.up_axis = "UP_Y"
+    return cam, empty
+
+
+def _add_lamps():
+    for loc, energy in (((2, 2, 4), 600), ((-3, 1, 3), 300), ((0, -3, 3), 300)):
+        data = bpy.data.lights.new("pt", type="POINT")
+        data.energy = energy
+        light = bpy.data.objects.new("pt", data)
+        light.location = loc
+        bpy.context.scene.collection.objects.link(light)
+
+
+def _add_light_env(filepath, strength):
+    world = bpy.context.scene.world
+    world.use_nodes = True
+    nodes = world.node_tree.nodes
+    links = world.node_tree.links
+    env = nodes.new("ShaderNodeTexEnvironment")
+    env.image = bpy.data.images.load(filepath)
+    bg = nodes["Background"]
+    bg.inputs["Strength"].default_value = strength
+    links.new(env.outputs["Color"], bg.inputs["Color"])
+
+
+def _select_devices(gpus):
+    prefs = bpy.context.preferences.addons["cycles"].preferences
+    prefs.compute_device_type = "CUDA"
+    prefs.get_devices()
+    for i, dev in enumerate(prefs.devices):
+        dev.use = (
+            dev.type != "CPU" and (gpus is None or i in gpus)
+        ) or dev.type == "CPU"
+
+
+def _set_engine(args):
     scene = bpy.context.scene
-    scene.render.engine = args.engine
+    if args.use_pbr:
+        scene.render.engine = "CYCLES"
+        scene.cycles.samples = args.n_samples
+        if args.use_gpu:
+            scene.cycles.device = "GPU"
+            _select_devices(args.gpus)
+        if args.light_env:
+            _add_light_env(args.light_env, args.light_strength)
+        else:
+            _add_lamps()
+    else:
+        scene.render.engine = "BLENDER_EEVEE"
+        _add_lamps()
     scene.render.resolution_x = args.res
     scene.render.resolution_y = args.res
     scene.render.film_transparent = True
     scene.render.image_settings.file_format = "PNG"
     scene.render.image_settings.color_mode = "RGBA"
+    scene.render.image_settings.color_depth = str(args.color_depth)
+
+
+def _add_output_node(scene, layer_output, prefix, to_gray=False):
+    tree = scene.node_tree
+    node = tree.nodes.new("CompositorNodeOutputFile")
+    node.base_path = "/tmp"
+    node.file_slots[0].path = prefix
+    if to_gray:
+        node.format.color_mode = "BW"
+    tree.links.new(layer_output, node.inputs[0])
+    return node
+
+
+def _setup_compositing(scene, args):
+    """Object / background / alpha / depth output passes
+    (reference :399-463)."""
+    scene.use_nodes = True
+    scene.view_layers["ViewLayer"].use_pass_z = args.render_depth
+    tree = scene.node_tree
+    for node in list(tree.nodes):
+        tree.nodes.remove(node)
+    rl = tree.nodes.new("CompositorNodeRLayers")
+    prefixes = ["object_"]
+    _add_output_node(scene, rl.outputs["Image"], "object_")
+    if args.render_bg:
+        prefixes.append("background_")
+        _add_output_node(scene, rl.outputs["Image"], "background_")
+    if args.render_alpha:
+        prefixes.append("alpha_")
+        _add_output_node(scene, rl.outputs["Alpha"], "alpha_", to_gray=True)
+    if args.render_depth:
+        prefixes.append("depth_")
+        norm = tree.nodes.new("CompositorNodeNormalize")
+        tree.links.new(rl.outputs["Depth"], norm.inputs[0])
+        _add_output_node(scene, norm.outputs[0], "depth_", to_gray=True)
+    return prefixes
+
+
+def _move_files(dirname, prefixes):
+    """File-output nodes write frame-numbered files to /tmp; move them next
+    to the view's transforms (reference :377-396)."""
+    moved = []
+    for prefix in prefixes:
+        for src in glob.glob(f"/tmp/{prefix}*"):
+            dst = osp.join(dirname, osp.basename(src))
+            os.replace(src, dst)
+            moved.append(dst)
+    return moved
+
+
+def _render_single(filepath, args, prefixes):
+    scene = bpy.context.scene
+    scene.render.filepath = filepath
+    bpy.ops.render.render(write_still=True)
+    return prefixes
+
+
+def setup_scene(args, model_dirs):
+    """Import 1-2 instances, place them (quadrants for 2), aim the camera
+    (reference :285-331)."""
+    bpy.ops.wm.read_factory_settings(use_empty=True)
     world = bpy.data.worlds.new("world")
-    scene.world = world
-    world.use_nodes = True
-    bg = world.node_tree.nodes["Background"]
-    bg.inputs[0].default_value = (1.0, 1.0, 1.0, 1.0)
-    bg.inputs[1].default_value = 1.0
+    bpy.context.scene.world = world
+    _set_engine(args)
+    objs = []
+    lookat = np.zeros(3)
+    if len(model_dirs) == 1:
+        obj, _ = _import_object(model_dirs[0], args.model_path)
+        obj.location[0] = obj.location[1] = 0
+        objs = [obj]
+    elif len(model_dirs) == 2:
+        sign = -1
+        for model_dir in model_dirs:
+            obj, bb = _import_object(model_dir, args.model_path)
+            obj.location[0] = sign * bb[0][0]
+            obj.location[1] = sign * bb[0][1]
+            sign *= -1
+            objs.append(obj)
+    else:
+        raise NotImplementedError
+    camera_loc, lookat = scene_camera_setup(len(model_dirs))
+    cam, track_to = _add_camera(camera_loc, lookat)
+    return objs, cam, track_to, camera_loc, lookat
 
 
-def add_camera(args):
-    cam_data = bpy.data.cameras.new("cam")
-    cam_data.angle = math.radians(args.fov_deg)
-    cam = bpy.data.objects.new("cam", cam_data)
-    bpy.context.scene.collection.objects.link(cam)
-    bpy.context.scene.camera = cam
-    return cam
+# ---------------------------------------------------------------------------
+# Per-instance render loop (bpy or dry run)
+# ---------------------------------------------------------------------------
 
 
-def add_light():
-    light_data = bpy.data.lights.new("sun", type="SUN")
-    light_data.energy = 3.0
-    light = bpy.data.objects.new("sun", light_data)
-    light.rotation_euler = (math.radians(45), 0, math.radians(30))
-    bpy.context.scene.collection.objects.link(light)
+def render_views(args, model_dirs, rng):
+    out_dir = osp.join(args.out_dir, osp.basename(model_dirs[0]))
+    if (
+        osp.isdir(out_dir)
+        and len(os.listdir(out_dir)) >= args.n_views
+        and not args.overwrite
+    ):
+        print(f"images already written for {out_dir}")
+        return False
+    os.makedirs(out_dir, exist_ok=True)
 
+    dry = bpy is None
+    angles = camera_path_angles(args.split, args.n_views, rng)
+    camera_loc, lookat = scene_camera_setup(len(model_dirs))
+    fov_x = math.radians(51.0)
 
-def list_models(shapenet_dir):
-    models = []
-    for cat in sorted(os.listdir(shapenet_dir)):
-        cat_dir = os.path.join(shapenet_dir, cat)
-        if not os.path.isdir(cat_dir):
-            continue
-        for obj_id in sorted(os.listdir(cat_dir)):
-            for rel in ("models/model_normalized.obj", "model.obj"):
-                path = os.path.join(cat_dir, obj_id, rel)
-                if os.path.exists(path):
-                    models.append(path)
-                    break
-    return models
+    if not dry:
+        objs, cam, track_to, camera_loc, lookat = setup_scene(args, model_dirs)
+        prefixes = _setup_compositing(bpy.context.scene, args)
+        fov_x = cam.data.angle_x
 
-
-def place_objects(models, n_objects, rng):
-    placed = []
-    for i in range(n_objects):
-        path = rng.choice(models)
-        before = set(bpy.data.objects)
-        bpy.ops.wm.obj_import(filepath=path)
-        new = [o for o in bpy.data.objects if o not in before and o.type == "MESH"]
-        root = new[0]
-        # normalize to unit box, then scatter without overlap on a ring
-        dims = max(root.dimensions) or 1.0
-        s = 0.6 / dims
-        for o in new:
-            o.scale = (s, s, s)
-        angle = 2 * math.pi * i / n_objects + rng.uniform(-0.3, 0.3)
-        r = 0.0 if n_objects == 1 else 0.45
-        root.location = (r * math.cos(angle), r * math.sin(angle), 0.0)
-        root.rotation_euler = (0, 0, rng.uniform(0, 2 * math.pi))
-        placed.append(root)
-    return placed
-
-
-def look_at_origin(cam, position):
-    cam.location = Vector(position)
-    direction = -Vector(position)
-    cam.rotation_euler = direction.to_track_quat("-Z", "Y").to_euler()
-
-
-def hemisphere_positions(n, radius, rng, noisy=True):
-    """Training cameras: stratified hemisphere bins with jitter
-    (reference train-split design)."""
-    out = []
-    n_rings = max(2, int(math.sqrt(n)))
-    per_ring = -(-n // n_rings)
-    i = 0
-    for ri in range(n_rings):
-        elev = math.radians(15 + 60 * ri / max(n_rings - 1, 1))
-        for az_i in range(per_ring):
-            if i >= n:
-                break
-            az = 2 * math.pi * az_i / per_ring
-            if noisy:
-                az += rng.uniform(-0.15, 0.15)
-                elev_i = elev + rng.uniform(-0.08, 0.08)
-            else:
-                elev_i = elev
-            out.append(
-                (
-                    radius * math.cos(elev_i) * math.cos(az),
-                    radius * math.cos(elev_i) * math.sin(az),
-                    radius * math.sin(elev_i),
-                )
-            )
-            i += 1
-    return out
-
-
-def spiral_positions(n, radius):
-    """Val/test cameras: Archimedes spiral over the hemisphere
-    (reference render_shapenet.py:492-500)."""
-    out = []
-    for i in range(n):
-        t = (i + 0.5) / n
-        elev = math.asin(t * 0.9)
-        az = t * 4 * math.pi
-        out.append(
-            (
-                radius * math.cos(elev) * math.cos(az),
-                radius * math.cos(elev) * math.sin(az),
-                radius * math.sin(elev),
-            )
-        )
-    return out
-
-
-def render_scene(args, scene_dir, cam, positions):
     frames = []
-    for vi, pos in enumerate(positions):
-        look_at_origin(cam, pos)
-        bpy.context.view_layer.update()
-        fname = f"r_{vi:03d}"
-        bpy.context.scene.render.filepath = os.path.join(scene_dir, fname)
-        bpy.ops.render.render(write_still=True)
+    t0 = time.time()
+    for i in range(args.n_views):
+        filepath = osp.join(out_dir, f"view_{i:03d}")
+        if dry:
+            open(filepath + ".png", "wb").close()
+            if args.render_alpha:
+                open(osp.join(out_dir, f"alpha_{i:03d}.png"), "wb").close()
+            if args.render_depth:
+                open(osp.join(out_dir, f"depth_{i:03d}.png"), "wb").close()
+            if args.render_bg:
+                open(osp.join(out_dir, f"background_{i:03d}.png"), "wb").close()
+            matrix = orbit_camera_matrix(angles[i], camera_loc, lookat)
+        else:
+            track_to.rotation_euler = angles[i]
+            files = _render_single(filepath, args, prefixes)
+            _move_files(out_dir, files)
+            bpy.context.view_layer.update()
+            # camera matrix read AFTER render: the view layer updates lazily
+            matrix = np.array(bpy.context.scene.camera.matrix_world)
         frames.append(
-            {
-                "file_path": f"./{fname}",
-                "transform_matrix": [list(row) for row in cam.matrix_world],
-            }
+            {"file_path": filepath, "transform_matrix": matrix.tolist()}
         )
-    return frames
+
+    write_transforms(out_dir, frames, model_dirs, fov_x)
+    print(f"rendering {model_dirs[0]} took {time.time() - t0:.1f} seconds")
+    return True
+
+
+def _main_sequential(args):
+    model_dirs = get_split(args)
+    end_idx = args.end_idx if args.end_idx > 0 else len(model_dirs)
+    rng = np.random.default_rng(seed=9)
+    for model_dir in model_dirs[args.start_idx : end_idx]:
+        sel_dirs = [model_dir]
+        for _ in range(args.n_objects - 1):
+            sel_dirs.append(rng.choice(model_dirs))
+        render_views(args, sel_dirs, rng)
+
+
+def _main_parallel(args):
+    from concurrent.futures import ProcessPoolExecutor
+
+    from numpy.random import MT19937, Generator, SeedSequence
+
+    model_dirs = get_split(args)
+    end_idx = args.end_idx if args.end_idx > 0 else len(model_dirs)
+    rngs = [
+        Generator(MT19937(sg))
+        for sg in SeedSequence(9).spawn(end_idx - args.start_idx)
+    ]
+    futures = []
+    with ProcessPoolExecutor(max_workers=16) as executor:
+        for model_dir, rng in zip(model_dirs[args.start_idx : end_idx], rngs):
+            sel_dirs = [model_dir]
+            for _ in range(args.n_objects - 1):
+                sel_dirs.append(rng.choice(model_dirs))
+            futures.append(executor.submit(render_views, args, sel_dirs, rng))
+        for future in futures:
+            future.result()
+
+
+def parse_args(argv=None):
+    if argv is None:
+        argv = sys.argv
+        argv = argv[argv.index("--") + 1 :] if "--" in argv else argv[1:]
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--out_dir", required=True, help="Where to write the rendered images"
+    )
+    parser.add_argument(
+        "--src_model_dir",
+        required=True,
+        help="Directory where ShapeNet models are stored",
+    )
+    parser.add_argument(
+        "--object",
+        choices=OBJ_IDS.keys(),
+        default="chair",
+        help="Which ShapeNet class to use",
+    )
+    parser.add_argument(
+        "--model_path",
+        type=str,
+        default="models/model_normalized.obj",
+        help="Path to model, inside an instance of the ShapeNet class directory",
+    )
+    parser.add_argument(
+        "--val_frac",
+        type=float,
+        default=0.2,
+        help="Fraction of instances to use as validation",
+    )
+    parser.add_argument(
+        "--test_frac",
+        type=float,
+        default=0.2,
+        help="Fraction of instances to use as test",
+    )
+    parser.add_argument(
+        "--split",
+        choices=["train", "val", "test"],
+        default="train",
+        help="Which split to render",
+    )
+    parser.add_argument(
+        "--n_views", type=int, default=20,
+        help="Number of views to render per instance",
+    )
+    parser.add_argument(
+        "--start_idx", type=int, default=0,
+        help="If rendering a subset of the instances, starting instance to render.",
+    )
+    parser.add_argument(
+        "--end_idx", type=int, default=-1,
+        help="If rendering a subset of the instances, ending instance to render.",
+    )
+    parser.add_argument(
+        "--n_objects", type=int, default=1, help="number of objects in scene"
+    )
+    parser.add_argument(
+        "--use_pbr", action="store_true",
+        help="Whether to render with physically based rendering (Blender Cycles) or not.",
+    )
+    parser.add_argument(
+        "--light_env", default=None,
+        help="If using PBR rendering and an HDRI light map, the path to the HDRI",
+    )
+    parser.add_argument(
+        "--light_strength", type=float, default=3,
+        help="If using HDRI light map, HDRI strength",
+    )
+    parser.add_argument(
+        "--render_alpha", action="store_true",
+        help="select to render the object masks",
+    )
+    parser.add_argument(
+        "--render_depth", action="store_true",
+        help="select to render the depth map",
+    )
+    parser.add_argument(
+        "--render_bg", action="store_true",
+        help="select to render the background layer",
+    )
+    parser.add_argument(
+        "--res", type=int, default=128,
+        help="Output resolution of images (res x res), default 128",
+    )
+    parser.add_argument(
+        "--n_samples", type=int, default=128,
+        help="Number of anti-aliasing samples, default 128",
+    )
+    parser.add_argument(
+        "--color_depth", type=int, default=16,
+        help="Color depth of images (default 16)",
+    )
+    parser.add_argument(
+        "--use_gpu", action="store_true", default=False,
+        help="Use GPU devices for Cycles rendering",
+    )
+    parser.add_argument(
+        "--gpus", nargs="*", type=int,
+        help="Indices of GPU devices to render with",
+    )
+    parser.add_argument(
+        "--overwrite", action="store_true", default=False,
+        help="Overwrite existing renders",
+    )
+    parser.add_argument(
+        "--pool", action="store_true", default=False,
+        help="Render in parallel. Improves performance.",
+    )
+    return parser.parse_args(argv)
 
 
 def main():
-    if bpy is None:
+    args = parse_args()
+    if bpy is None and not os.environ.get("RENDER_SHAPENET_DRYRUN"):
         print(
             "This script must run inside Blender:\n"
-            "  blender --background --python scripts/render_shapenet.py -- --help"
+            "  blender --background --python scripts/render_shapenet.py -- --help\n"
+            "(set RENDER_SHAPENET_DRYRUN=1 for a bpy-less dry run)"
         )
         sys.exit(1)
-    args = parse_args()
-    rng = random.Random(args.seed)
-    models = list_models(args.shapenet)
-    assert models, f"no OBJ models under {args.shapenet}"
-
-    splits = {"train": [], "val": [], "test": []}
-    for si in range(args.n_scenes):
-        for split, n_views, noisy in (
-            ("train", args.views_train, True),
-            ("val", args.views_test, False),
-            ("test", args.views_test, False),
-        ):
-            reset_scene()
-            setup_render(args)
-            add_light()
-            cam = add_camera(args)
-            place_objects(models, args.n_objects, rng)
-            scene_name = f"scene{si:04d}"
-            scene_dir = os.path.join(args.out, split, scene_name)
-            os.makedirs(scene_dir, exist_ok=True)
-            if noisy:
-                positions = hemisphere_positions(n_views, args.radius, rng)
-            else:
-                positions = spiral_positions(n_views, args.radius)
-            frames = render_scene(args, scene_dir, cam, positions)
-            with open(os.path.join(scene_dir, "transforms.json"), "w") as f:
-                json.dump(
-                    {
-                        "camera_angle_x": math.radians(args.fov_deg),
-                        "frames": frames,
-                    },
-                    f,
-                    indent=1,
-                )
-            splits[split].append(scene_name)
-    for split, names in splits.items():
-        with open(os.path.join(args.out, f"{split}.txt"), "w") as f:
-            f.write("\n".join(sorted(set(names))) + "\n")
-    print("Done:", args.out)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.pool:
+        _main_parallel(args)
+    else:
+        _main_sequential(args)
+    print("finished rendering")
 
 
 if __name__ == "__main__":
