@@ -303,13 +303,34 @@ def load_pretrained_backbones(variables: dict, model_conf) -> dict:
     if not targets:
         return variables
 
+    import os
+    import warnings
+
     state = flax.serialization.to_state_dict(variables)
     changed = 0
     loaded_any = False
     for mod_name, backbone, wpath in targets:
         sd = backbone_state_dict(backbone, wpath)
         if sd is None:
-            continue
+            # the reference constructs its encoders with torchvision
+            # pretrained=True (encoder.py:61-67); silently training from a
+            # random trunk materially changes convergence, so this is a hard
+            # failure with an explicit escape hatch
+            if os.environ.get("PIXELNERF_ALLOW_RANDOM_BACKBONE") == "1":
+                warnings.warn(
+                    f"'{mod_name}' keeps RANDOM initialization "
+                    "(PIXELNERF_ALLOW_RANDOM_BACKBONE=1)"
+                )
+                continue
+            raise RuntimeError(
+                f"encoder '{mod_name}' is configured pretrained=true but no "
+                f"backbone weights for {backbone!r} could be obtained (no "
+                "encoder.pretrained_path, no $PIXELNERF_BACKBONE_WEIGHTS, "
+                "torchvision weights unavailable offline). Provide a "
+                "torchvision-layout state dict via either mechanism, or set "
+                "PIXELNERF_ALLOW_RANDOM_BACKBONE=1 to train from a random "
+                "encoder anyway."
+            )
         loaded_any = True
         conv = convert_resnet(sd)
         for coll in ("params", "batch_stats"):

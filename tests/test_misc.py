@@ -245,3 +245,89 @@ def test_warping_identity():
     assert float(err) < 1e-4
     views = warping.sample_random_views(10, 3, rng, exclude=(0, 1))
     assert len(views) == 3 and all(v >= 2 for v in views)
+
+
+def test_lpips_golden_vs_torch_reimplementation(tmp_path):
+    """Golden-value LPIPS test (VERDICT #8): synthetic torch lpips-layout
+    weights -> converter -> Flax forward must EQUAL an independent torch
+    reimplementation of LPIPS(net='vgg') (the reference's metric,
+    calc_metrics.py:17,186): scaling layer, VGG16 taps at each block's last
+    relu, per-location unit normalization, 1x1 lin heads, spatial mean, sum
+    over taps."""
+    import torch.nn.functional as F
+
+    from pixelnerf_tpu.eval import lpips as L
+
+    # --- synthetic weights in the torch lpips package layout ---
+    sd = {}
+    conv_positions = []
+    idx = 0
+    for filters, n_convs in L._VGG_BLOCKS:
+        for _ in range(n_convs):
+            conv_positions.append((idx, filters))
+            idx += 2
+        idx += 1
+    cin = 3
+    g = torch.Generator().manual_seed(7)
+    for pos, filters in conv_positions:
+        sd[f"features.{pos}.weight"] = (
+            torch.randn(filters, cin, 3, 3, generator=g) * 0.08
+        )
+        sd[f"features.{pos}.bias"] = torch.randn(filters, generator=g) * 0.01
+        cin = filters
+    taps = [64, 128, 256, 512, 512]
+    for i, ch in enumerate(taps):
+        sd[f"lin{i}.model.1.weight"] = torch.rand(1, ch, 1, 1, generator=g)
+    path = str(tmp_path / "lpips_vgg.pth")
+    torch.save(sd, path)
+
+    # --- torch twin ---
+    def torch_lpips(x_np, y_np):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(t):
+            t = (t - shift) / scale
+            out = []
+            pos = 0
+            for bi, (filters, n_convs) in enumerate(L._VGG_BLOCKS):
+                for _ in range(n_convs):
+                    t = F.relu(
+                        F.conv2d(
+                            t,
+                            sd[f"features.{pos}.weight"],
+                            sd[f"features.{pos}.bias"],
+                            padding=1,
+                        )
+                    )
+                    pos += 2
+                pos += 1
+                out.append(t)
+                if bi < len(L._VGG_BLOCKS) - 1:
+                    t = F.max_pool2d(t, 2, 2)
+            return out
+
+        x = torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2)))
+        y = torch.from_numpy(np.transpose(y_np, (0, 3, 1, 2)))
+        total = 0.0
+        with torch.no_grad():
+            for i, (a, b) in enumerate(zip(feats(x), feats(y))):
+                a = a / (a.norm(dim=1, keepdim=True) + 1e-10)
+                b = b / (b.norm(dim=1, keepdim=True) + 1e-10)
+                d = (a - b) ** 2
+                w = F.conv2d(d, sd[f"lin{i}.model.1.weight"])
+                total = total + w.mean(dim=(1, 2, 3))
+        return total.numpy()
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), -1, 1).astype(np.float32)
+
+    variables = L.load_torch_lpips(path)
+    model = L.LPIPS()
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(y)))
+    ref = torch_lpips(x, y)
+    assert ours.shape == ref.shape == (2,)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
+    assert (ref > 1e-4).all()  # non-trivial distances

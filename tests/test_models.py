@@ -797,3 +797,61 @@ def test_pixelnerf_adaptive_sampling_path():
     )
     assert out.shape == (1, 5, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_backbone_fallback_chain_raises_loudly(monkeypatch):
+    """pretrained=true with NO obtainable weights must raise (not warn):
+    random-encoder training materially diverges from the reference
+    (encoder.py:61-67).  PIXELNERF_ALLOW_RANDOM_BACKBONE=1 is the explicit
+    escape hatch."""
+    import warnings as W
+
+    _, variables, *_ = _init_net()
+    conf = hocon.parse_string(
+        SMALL_CONF.replace("pretrained = False", "pretrained = True")
+    )
+    monkeypatch.delenv("PIXELNERF_BACKBONE_WEIGHTS", raising=False)
+    # force the torchvision step to fail even if installed
+    import pixelnerf_tpu.utils.torch_convert as tc
+
+    orig = tc.backbone_state_dict
+    monkeypatch.setattr(
+        tc, "backbone_state_dict", lambda backbone, weights_path=None: None
+    )
+    with pytest.raises(RuntimeError, match="pretrained=true"):
+        tc.load_pretrained_backbones(variables, conf["model"])
+
+    monkeypatch.setenv("PIXELNERF_ALLOW_RANDOM_BACKBONE", "1")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = tc.load_pretrained_backbones(variables, conf["model"])
+    assert any("RANDOM initialization" in str(r.message) for r in rec)
+    # unchanged variables
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["encoder"]["model"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["model"]["conv1"]["kernel"]),
+    )
+    monkeypatch.setattr(tc, "backbone_state_dict", orig)
+
+
+def test_backbone_pretrained_path_conf_chain(tmp_path, monkeypatch):
+    """encoder.pretrained_path (conf) is honored ahead of the env var."""
+    import pixelnerf_tpu.utils.torch_convert as tc
+
+    tmodel = TorchResNet34Trunk().eval()
+    wfile = tmp_path / "trunk.pth"
+    torch.save(tmodel.state_dict(), str(wfile))
+    _, variables, *_ = _init_net()
+    conf = hocon.parse_string(
+        SMALL_CONF.replace(
+            "pretrained = False",
+            f'pretrained = True\n pretrained_path = "{wfile}"',
+        )
+    )
+    monkeypatch.delenv("PIXELNERF_BACKBONE_WEIGHTS", raising=False)
+    loaded = tc.load_pretrained_backbones(variables, conf["model"])
+    got = np.asarray(loaded["params"]["encoder"]["model"]["conv1"]["kernel"])
+    want = np.transpose(
+        tmodel.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
