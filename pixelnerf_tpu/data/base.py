@@ -84,9 +84,20 @@ def decompose_projection(P: np.ndarray):
     import cv2
 
     K, R, t_h = cv2.decomposeProjectionMatrix(P.astype(np.float64))[:3]
+    # cv2's RQ does not fix signs: a projection stored with a NEGATIVE
+    # overall scale (real DTU world_mats have arbitrary projective scale)
+    # comes back with negative focal lengths and a flipped rotation.
+    # Normalize: positive-diagonal K (K S)(S R) = K R, then absorb the
+    # projective sign into R so it is a proper rotation; the camera center
+    # (P's null space) is scale/sign independent.
+    S = np.diag(np.sign(np.diag(K)))
+    K = K @ S
+    R = S @ R
+    if np.linalg.det(R) < 0:
+        R = -R
     K = (K / K[2, 2]).astype(np.float32)
     center = (t_h[:3, 0] / t_h[3, 0]).astype(np.float32)
-    # cv2 returns R as world->camera rotation of the CV camera
+    # R is the world->camera rotation of the CV camera
     w2c = np.eye(4, dtype=np.float32)
     w2c[:3, :3] = R.astype(np.float32)
     w2c[:3, 3] = -R.astype(np.float32) @ center

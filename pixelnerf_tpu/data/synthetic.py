@@ -13,6 +13,7 @@ tests a signal: loss must decrease and renders must converge toward the sphere.
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Optional, Tuple
 
@@ -31,15 +32,20 @@ def render_sphere_image(
     color: Tuple[float, float, float] = (0.8, 0.3, 0.2),
     color2: Tuple[float, float, float] = (0.2, 0.4, 0.9),
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.45),
+    c: Optional[Tuple[float, float]] = None,
+    focal_y: Optional[float] = None,
 ) -> np.ndarray:
     """Ray-trace a two-tone Lambert sphere at the origin -> (H, W, 3) in [0, 1].
 
     Pure numpy (no device needed): ray math replicates utils.geometry.gen_rays /
     unproj_map exactly so generated cameras are consistent with the framework.
+    ``c`` / ``focal_y`` support off-center and anisotropic intrinsics
+    (adversarial DTU fixtures).
     """
-    cx, cy = width * 0.5, height * 0.5
+    cx, cy = (width * 0.5, height * 0.5) if c is None else c
+    fy = focal if focal_y is None else focal_y
     xs = (np.arange(width, dtype=np.float32) - cx) / focal
-    ys = (np.arange(height, dtype=np.float32) - cy) / focal
+    ys = (np.arange(height, dtype=np.float32) - cy) / fy
     X, Y = np.meshgrid(xs, ys)
     dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -154,14 +160,34 @@ def write_synthetic_dtu(
     n_views: int = 8,
     image_size: Tuple[int, int] = (75, 100),
     seed: int = 0,
+    offcenter_c: float = 0.0,
+    focal_aniso: float = 1.0,
+    negate_world_mat: bool = False,
+    scale_rot_deg: float = 0.0,
 ) -> str:
     """Write a DTU-style (rs_dtu_4) dataset: scan directories directly under
     datadir, pixel-unit CV projections ``world_mat_N`` with a ``scale_mat_N``
-    normalization, `mask/` images, and a ``new_val.lst`` split."""
+    normalization, `mask/` images, and a ``new_val.lst`` split.
+
+    Adversarial-camera knobs (decomposition hardening — the classic real-DTU
+    failure modes):
+
+    :param offcenter_c: principal point offset as a fraction of W/H (per-view
+        random sign), instead of the image center
+    :param focal_aniso: fy = focal * focal_aniso (anisotropic intrinsics)
+    :param negate_world_mat: store odd views' projections scaled by a NEGATIVE
+        constant (projectively identical; breaks naive RQ sign handling)
+    :param scale_rot_deg: rotate the normalization frame inside scale_mat by
+        this angle (nontrivial scale_mat chain, not a pure similarity shift)
+
+    Also writes per-scene ``meta.json`` with the ground-truth sphere geometry
+    in the normalized frame, for independent geometric oracles in tests.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, W = image_size
     focal = 0.9 * W
+    fy = focal * focal_aniso
     scene_names = []
     for si in range(n_scenes):
         name = f"scan{si + 1}"
@@ -180,13 +206,37 @@ def write_synthetic_dtu(
         scale_mat = np.eye(4, dtype=np.float64)
         scale_mat[:3, :3] *= 1.0 / s
         scale_mat[:3, 3] = -shift / s
+        if scale_rot_deg:
+            th = math.radians(scale_rot_deg)
+            Rz = np.array(
+                [
+                    [math.cos(th), -math.sin(th), 0],
+                    [math.sin(th), math.cos(th), 0],
+                    [0, 0, 1],
+                ],
+                np.float64,
+            )
+            # rotate the normalized frame: scale_mat maps normalized -> world
+            scale_mat[:3, :3] = scale_mat[:3, :3] @ Rz
+            # cameras/sphere stay defined in the (now rotated) normalized
+            # frame, so images are unchanged; only the matrix chain differs
         inv_scale = np.linalg.inv(scale_mat)
         cams = {}
-        K = np.array(
-            [[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1]], np.float64
-        )
+        intr = []
         for vi in range(n_views):
-            img = render_sphere_image(poses[vi], W, H, focal, **params)
+            cx = W / 2.0 + (
+                offcenter_c * W * rng.choice([-1.0, 1.0]) if offcenter_c else 0.0
+            )
+            cy = H / 2.0 + (
+                offcenter_c * H * rng.choice([-1.0, 1.0]) if offcenter_c else 0.0
+            )
+            K = np.array(
+                [[focal, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64
+            )
+            intr.append([focal, fy, cx, cy])
+            img = render_sphere_image(
+                poses[vi], W, H, focal, c=(cx, cy), focal_y=fy, **params
+            )
             _save_png(os.path.join(img_dir, f"{vi:06d}.png"), img)
             mask = (np.linalg.norm(img - img[0, 0], axis=-1) > 0.02).astype(
                 np.float32
@@ -197,9 +247,22 @@ def write_synthetic_dtu(
             P_pix = K @ w2c_cv[:3, :4]  # projection in the normalized frame
             # store the un-normalized projection; loaders recover P_pix via
             # world_mat @ scale_mat
-            cams[f"world_mat_{vi}"] = (P_pix @ inv_scale).astype(np.float32)
+            world_mat = P_pix @ inv_scale
+            if negate_world_mat and vi % 2 == 1:
+                world_mat = -2.2 * world_mat  # projectively identical
+            cams[f"world_mat_{vi}"] = world_mat.astype(np.float32)
             cams[f"scale_mat_{vi}"] = scale_mat.astype(np.float32)
         np.savez(os.path.join(scene_dir, "cameras.npz"), **cams)
+        with open(os.path.join(scene_dir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "sphere_radius": params["radius"],
+                    "sphere_center": [0.0, 0.0, 0.0],
+                    "cam_radius": 1.6,
+                    "intrinsics": intr,
+                },
+                f,
+            )
 
     with open(os.path.join(out_dir, "new_val.lst"), "w") as f:
         f.write("\n".join(scene_names) + "\n")

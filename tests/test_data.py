@@ -1,6 +1,8 @@
 """Data-layer tests: synthetic writers round-trip through every adapter, camera
 decomposition recovers the generating poses, collate handles malformed batches."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -269,3 +271,135 @@ def test_loader_sample_cache():
     assert loader3._cache_bytes <= loader3._cache_cap
     assert (ds3.calls[:2] == 1).all()  # first two frozen in cache
     assert (ds3.calls[2:] == 3).all()  # the rest decode each epoch
+
+
+def _hand_rq_decompose(P):
+    """Independent oracle: RQ-decompose P = K[R|t] by hand (numpy only, no
+    cv2), normalizing to positive-diagonal K and proper rotation, and return
+    (K, c2w_gl) in the framework's convention."""
+    P = np.asarray(P, np.float64)
+    M = P[:, :3]
+    # RQ via reversed-QR: M = K R with K upper-triangular
+    rev = np.eye(3)[::-1]
+    Q, R_ = np.linalg.qr((rev @ M).T)
+    K = rev @ R_.T @ rev
+    R = rev @ Q.T
+    # positive-diagonal K
+    S = np.diag(np.sign(np.diag(K)))
+    K = K @ S
+    R = S @ R
+    if np.linalg.det(R) < 0:  # proper rotation (absorb the projective sign)
+        R = -R
+        t = -np.linalg.solve(K, P[:, 3])
+    else:
+        t = np.linalg.solve(K, P[:, 3])
+    K = K / K[2, 2]
+    w2c = np.eye(4)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = t
+    c2w_cv = np.linalg.inv(w2c)
+    from pixelnerf_tpu.data.base import CV_TO_GL
+
+    return K, c2w_cv @ CV_TO_GL
+
+
+def test_decompose_projection_adversarial_oracle():
+    """decompose_projection vs construction ground truth AND a hand-rolled RQ
+    oracle, on the classic real-DTU failure modes: off-center principal
+    point, anisotropic focal, negative projective scale (sign conventions),
+    and nontrivial scale_mat chains (VERDICT #5)."""
+    from pixelnerf_tpu.utils import geometry
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        c2w = geometry.pose_spherical(
+            rng.uniform(-180, 180), rng.uniform(-80, -5), rng.uniform(1, 3)
+        )
+        fx = rng.uniform(40, 80)
+        fy = fx * rng.uniform(0.8, 1.25)  # anisotropic
+        cx = rng.uniform(10, 90)  # strongly off-center
+        cy = rng.uniform(5, 70)
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+        w2c_cv = np.diag([1.0, -1, -1, 1]) @ np.linalg.inv(c2w.astype(np.float64))
+        P = K @ w2c_cv[:3, :4]
+        # projective scaling incl. NEGATIVE (breaks naive RQ sign handling)
+        lam = rng.uniform(0.5, 4.0) * (-1 if trial % 2 else 1)
+        P_scaled = lam * P
+        # nontrivial chain: P stored as (P @ A) @ A^-1 for a rotated+scaled A
+        th = rng.uniform(0, 2 * np.pi)
+        A = np.eye(4)
+        A[:3, :3] = (
+            np.array(
+                [
+                    [np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1],
+                ]
+            )
+            / rng.uniform(0.5, 3.0)
+        )
+        A[:3, 3] = rng.normal(size=3) * 0.3
+        P_chain = (P_scaled @ A) @ np.linalg.inv(A)
+
+        for P_test in (P, P_scaled, P_chain):
+            K2, c2w2 = decompose_projection(P_test)
+            np.testing.assert_allclose(K2, K, atol=2e-3, rtol=1e-5)
+            np.testing.assert_allclose(c2w2, c2w, atol=1e-4)
+            K3, c2w3 = _hand_rq_decompose(P_test)
+            np.testing.assert_allclose(K3, K, atol=2e-3, rtol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(c2w3, np.float32), c2w, atol=1e-4
+            )
+
+
+def test_dtu_adversarial_roundtrip_geometric_oracle(tmp_path):
+    """End-to-end: adversarial DTU fixtures (off-center c, anisotropic focal,
+    negated world_mats, rotated scale_mat chain) through the dvr_dtu loader,
+    checked by an INDEPENDENT geometric oracle: rays cast from the loaded
+    cameras must hit the ground-truth sphere exactly where the stored masks
+    say (any sign/convention error shifts or flips the silhouette)."""
+    import json as J
+
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.data.synthetic import write_synthetic_dtu
+    from pixelnerf_tpu.utils import geometry
+
+    root = write_synthetic_dtu(
+        str(tmp_path / "dtu_adv"),
+        n_scenes=1,
+        n_views=6,
+        seed=5,
+        offcenter_c=0.12,
+        focal_aniso=1.2,
+        negate_world_mat=True,
+        scale_rot_deg=33.0,
+    )
+    dset = get_split_dataset("dvr_dtu", root, want_split="val", training=False)
+    d = dset[0]
+    meta = J.load(open(os.path.join(d["path"], "meta.json")))
+    r_sphere = meta["sphere_radius"]
+    NV, H, W = d["images"].shape[:3]
+    focal = np.asarray(d["focal"]).reshape(-1, 2)
+    cc = np.asarray(d["c"]).reshape(-1, 2)
+    # per-view c survives (c varies per view; constant anisotropic focal is
+    # collapsed to one (1,2) row by the loader's shape discipline)
+    assert cc.shape[0] == NV
+    # anisotropy must be preserved with POSITIVE fx, fy
+    np.testing.assert_allclose(focal[:, 1] / focal[:, 0], 1.2, rtol=1e-3)
+    assert (focal > 0).all()
+
+    for vi in range(NV):
+        rays = np.asarray(
+            geometry.gen_rays_np(
+                d["poses"][vi : vi + 1], W, H,
+                focal[min(vi, focal.shape[0] - 1)],
+                0.1, 5.0, c=cc[min(vi, cc.shape[0] - 1)],
+            )
+        ).reshape(H, W, 8)
+        o, dirs = rays[..., :3], rays[..., 3:6]
+        b = np.sum(o * dirs, axis=-1)
+        c_ = np.sum(o * o, axis=-1) - r_sphere**2
+        hit = (b * b - c_) > 0
+        mask = d["masks"][vi, ..., 0] > 0.5
+        iou = (hit & mask).sum() / max((hit | mask).sum(), 1)
+        assert iou > 0.97, (vi, iou)
