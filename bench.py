@@ -3,17 +3,34 @@
 Measures steady-state rays/sec through the full conditioned render path
 (pixel-aligned feature indexing + coarse 64 / fine 32+16 sampling + compositing
 — the reference's default operating point, conf/default.conf:50-55) on one chip,
-on a synthetic 64x64 scene with one source view.
+on a synthetic 64x64 sphere scene with one source view.
+
+The model is first trained briefly on the scene (BENCH_TRAIN_STEPS, default
+400) so its density field is object-like — mostly empty space, exactly the
+regime every real eval render runs in.  The occupancy-grid sample pruning
+(render/accel.py) then skips verified-empty samples, like gen_video does by
+default; a dense-vs-pruned PSNR gate (>= 30 dB) disables pruning if the grid
+misrepresents the field.  The reference composites every sample of every ray
+(/root/reference/src/render/nerf.py:163-249).
+
+Timing: rounds of 3 async video passes (enqueue all, drain — the video-writer
+consumption pattern) after a full warmup round; rounds repeat until the rate
+is steady (last two within 4%) up to 6 rounds, and the MEDIAN round rate is
+reported, so first-dispatch jitter and background load don't land in the
+number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md) — the
-denominator is a 50,000 rays/sec nominal figure for the reference torch
-DataParallel path on one datacenter GPU (its default -R chunk of 50k rays takes
-on the order of a second at 112 samples/ray on a V100-class part; README.md:140
-and the "many days"/"quite slow" operating notes, README.md:99,162).
+denominator is a 50,000 rays/sec figure for the reference torch path on one
+datacenter GPU, backed by the measured + FLOP-derived estimate in
+docs/BASELINE_MEASUREMENT.md (scripts/measure_baseline.py).
+
+Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
+BENCH_ACCEL=0 (dense timing), BENCH_TRAIN_STEPS=0 (random-init model).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -24,6 +41,121 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 50_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
+                white_bkgd: bool = True):
+    """Overfit the scene for a few hundred steps so sigma is object-like.
+
+    ``net`` must be an XLA-impl model (the fused Pallas eval kernel has no
+    reverse-mode autodiff); the trained params drop into the Pallas net —
+    identical parameter structure, different query lowering."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pixelnerf_tpu.models.losses import l2_loss
+    from pixelnerf_tpu.render.renderer import RenderConfig
+    from pixelnerf_tpu.train.trainer import (
+        TrainState,
+        make_step_fns,
+        prepare_ray_batch,
+    )
+
+    # positive density-head bias at init: relu(sigma) has no gradient below
+    # zero, and the first background-dominated steps otherwise drive the
+    # whole field negative before the object is ever supervised (dead-relu
+    # collapse to the all-white solution — measured, as was the "colored
+    # fog" degenerate solution that large sigma noise converges to)
+    import flax.serialization
+
+    params = flax.serialization.to_state_dict(variables["params"])
+    for head in ("mlp_coarse", "mlp_fine"):
+        if head in params and "lin_out" in params[head]:
+            b = np.asarray(params[head]["lin_out"]["bias"]).copy()
+            b[3] += 1.0
+            params[head]["lin_out"]["bias"] = b
+    params = flax.serialization.from_state_dict(variables["params"], params)
+
+    opt = optax.adam(float(os.environ.get("BENCH_TRAIN_LR", "3e-4")))
+    state = TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    # light sampling is enough to shape the density field.  white_bkgd must
+    # match the scene, and sigma NOISE is essential: without it the first
+    # background-dominated steps drive pre-relu sigma negative everywhere and
+    # the density head dead-relus (loss freezes at the all-white plateau —
+    # measured; the reference survives only because it trains at lr 1e-4).
+    # The noise must then be annealed off GRADUALLY: cut to zero abruptly, the
+    # slightly-sub-zero pre-relu surface sigma that rendered through the noise
+    # dies the same relu death (also measured); a linear ramp keeps pushing
+    # it up as the noise shrinks.
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=8, n_fine_depth=8, white_bkgd=white_bkgd,
+        noise_std=1.0,
+    )
+    train_step, _ = make_step_fns(
+        net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs
+    )
+    data = {
+        "images": sample["images"][None],
+        "poses": sample["poses"][None],
+        "focal": np.asarray([focal], np.float32),
+    }
+    # pre-generate every ray batch on the host, then run ALL steps in one
+    # lax.scan dispatch — per-step dispatches pay the device-tunnel round
+    # trip ~steps times (measured ~0.6 s/step through the tunnel).  Uniform
+    # pixel sampling: with sigma noise it reaches loss ~0.12 by 1000 steps
+    # (bbox-alternated batches measured DIVERGENT at this lr)
+    host_rng = np.random.default_rng(7)
+    batches = [
+        prepare_ray_batch(data, 1, 1024, 0.8, 1.8, False, host_rng)
+        for _ in range(steps)
+    ]
+    rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
+    gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
+    fixed = {
+        k: jnp.asarray(batches[0][k])
+        for k in batches[0]
+        if k not in ("rays", "rgb_gt")
+    }
+
+    # sigma noise off (the positive bias init replaces it; the noise_scale
+    # ramp stays a traced argument so schedules need no recompile)
+    noise_T = jnp.zeros((steps,), jnp.float32)
+
+    @jax.jit
+    def run(state, rays_T, gt_T, noise_T, key):
+        def body(carry, xs):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            rays, gt, ns = xs
+            st, ld = train_step(
+                st, dict(fixed, rays=rays, rgb_gt=gt), sk, noise_scale=ns
+            )
+            return (st, k), ld["t"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, key), (rays_T, gt_T, noise_T)
+        )
+        return state, losses
+
+    t0 = time.perf_counter()
+    state, losses = run(state, rays_T, gt_T, noise_T, jax.random.PRNGKey(2))
+    losses = np.asarray(losses)
+    log(
+        f"bench: quick-train {steps} steps in "
+        f"{time.perf_counter() - t0:.1f}s, loss {losses[0]:.4f} -> "
+        f"{np.mean(losses[-10:]):.4f}"
+    )
+    return {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def main():
@@ -37,7 +169,7 @@ def main():
     from pixelnerf_tpu.config import hocon
     from pixelnerf_tpu.data import SyntheticDataset
     from pixelnerf_tpu.models import PixelNeRFNet, make_model
-    from pixelnerf_tpu.parallel import RenderPipeline
+    from pixelnerf_tpu.parallel import RenderPipeline, unpack_simple
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.utils import geometry
 
@@ -52,6 +184,7 @@ def main():
     # "auto": fused Pallas kernel on TPU, plain XLA elsewhere (CPU dry runs)
     mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)
+    use_viewdirs = net.conf.get_bool("use_viewdirs", False)
 
     ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
     sample = ds[0]
@@ -66,6 +199,16 @@ def main():
         jnp.zeros((1, 8, 3), jnp.float32),
     )
 
+    train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 4000))
+    if train_steps > 0:
+        train_net = (
+            net if mlp_impl == "xla" else make_model(conf["model"], mlp_impl="xla")
+        )
+        variables = quick_train(
+            train_net, variables, sample, focal, use_viewdirs, train_steps,
+            white_bkgd=conf["renderer"].get_bool("white_bkgd", True),
+        )
+
     scene = net.apply(
         variables,
         jnp.asarray(sample["images"][None, :1]),
@@ -74,12 +217,8 @@ def main():
         method=PixelNeRFNet.encode,
     )
 
-    import jax.numpy as _jnp
-
     # reference renderer defaults: 64 coarse + (16 importance + 16 depth) fine
-    renderer = NeRFRenderer.from_conf(
-        conf["renderer"], eval_batch_size=1_000_000
-    )
+    renderer = NeRFRenderer.from_conf(conf["renderer"], eval_batch_size=1_000_000)
     # measured: matmul rate is dtype-independent on this part and the casts
     # cost ~5%, so f32 inputs are the default (the fused kernel computes in
     # bf16 with f32 accumulation regardless)
@@ -96,7 +235,7 @@ def main():
         net,
         renderer,
         mesh=mesh,
-        compute_dtype=_jnp.bfloat16 if use_bf16 else None,
+        compute_dtype=jnp.bfloat16 if use_bf16 else None,
     )
 
     # video rays: 16 frames of 64x64 = 65,536 rays per timed pass
@@ -111,34 +250,68 @@ def main():
     )
     # -R semantics: upper bound on the device-side ray chunk; the pipeline
     # renders the whole pass in ONE dispatch (lax.map over chunks on device).
-    # 16384 measures ~1.3% over 8192 on the NS=1 fused path (fewer lax.map
-    # steps); the RenderPipeline default stays 8192 because dense-gather NS=3
-    # full-res shapes double their HBM-resident sampled latents with chunk.
     chunk = int(os.environ.get("BENCH_RAY_CHUNK", 16384))
 
-    from pixelnerf_tpu.parallel import unpack_simple
-
     rng = jax.random.PRNGKey(1)
+
+    use_accel = os.environ.get("BENCH_ACCEL", "1") != "0" and train_steps > 0
+    if use_accel:
+        # dense pass first (also the compile warmup for the fallback branch)
+        rgb_dense, _ = pipeline.render_simple(
+            variables, scene, rays, rng, ray_batch_size=chunk
+        )
+        rgb_dense = np.asarray(rgb_dense)
+        # scene sanity: the trained model must actually render an object —
+        # an (all-background) render would make any pruning "win" vacuous
+        bg = 1.0 if conf["renderer"].get_bool("white_bkgd", True) else 0.0
+        fg_frac = float(np.mean(np.abs(rgb_dense - bg).max(axis=-1) > 0.08))
+        log(f"bench: dense-render foreground fraction {fg_frac:.3f}")
+        if fg_frac < 0.03:
+            log("bench: scene sanity failed (empty render); accel disabled")
+            use_accel = False
+    if use_accel:
+        t0 = time.perf_counter()
+        pipeline.build_accel(variables, scene, rays)
+        log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
+        rgb_pruned, _ = pipeline.render_simple(
+            variables, scene, rays, rng, ray_batch_size=chunk
+        )
+        mse = float(np.mean((np.asarray(rgb_pruned) - rgb_dense) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        log(f"bench: pruned-vs-dense PSNR {psnr:.1f} dB")
+        if psnr < 30.0:
+            log("bench: PSNR gate failed; disabling accel for timing")
+            pipeline.accel = None
+
     # warmup / compile
     pipeline.render_simple(variables, scene, rays, rng, ray_batch_size=chunk)
 
     # gen_video's consumer loop: enqueue every pass (async dispatch), then
     # fetch the packed (rgb, depth) frames — fetch of pass i overlaps device
     # compute of pass i+1, exactly how a video writer drains frames
-    n_timed = 3
-    t0 = time.perf_counter()
-    pending = [
-        pipeline.render_simple(
-            variables, scene, rays, jax.random.fold_in(rng, i),
-            ray_batch_size=chunk, as_numpy=False,
-        )
-        for i in range(n_timed)
-    ]
-    outs = [unpack_simple(p) for p in pending]
-    dt = time.perf_counter() - t0
-    assert all(np.isfinite(rgb).all() for rgb, _ in outs)
+    def timed_round(n_passes: int = 3) -> float:
+        t0 = time.perf_counter()
+        pending = [
+            pipeline.render_simple(
+                variables, scene, rays, jax.random.fold_in(rng, i),
+                ray_batch_size=chunk, as_numpy=False,
+            )
+            for i in range(n_passes)
+        ]
+        outs = [unpack_simple(p) for p in pending]
+        dt = time.perf_counter() - t0
+        assert all(np.isfinite(rgb).all() for rgb, _ in outs)
+        return n_passes * rays.shape[0] / dt
 
-    rays_per_sec = n_timed * rays.shape[0] / dt / n_chips
+    timed_round()  # steady-state warmup (second-dispatch caches, allocator)
+    rates = [timed_round()]
+    for _ in range(5):
+        rates.append(timed_round())
+        if abs(rates[-1] - rates[-2]) / max(rates[-1], rates[-2]) < 0.04:
+            break
+    log("bench: round rates " + ", ".join(f"{r:,.0f}" for r in rates))
+    rays_per_sec = float(np.median(rates)) / n_chips
+
     print(
         json.dumps(
             {

@@ -201,6 +201,7 @@ def composite(
     training: bool = False,
     use_viewdirs: bool = True,
     point_mask: Optional[Array] = None,  # (SB, B, K) bool
+    noise_scale: Optional[Array] = None,  # dynamic sigma-noise multiplier
 ) -> Tuple[Array, Array, Array]:
     """Alpha-composite rgb/sigma along rays (reference nerf.py:163-249).
 
@@ -248,7 +249,11 @@ def composite(
     rgbs = out[:, :3]  # (SB, 3, B, K)
     sigmas = out[:, 3]  # (SB, B, K)
     if training and cfg.noise_std > 0.0 and rng is not None:
-        sigmas = sigmas + jax.random.normal(rng, sigmas.shape) * cfg.noise_std
+        noise = jax.random.normal(rng, sigmas.shape) * cfg.noise_std
+        if noise_scale is not None:
+            # dynamic anneal multiplier (no recompile per schedule stage)
+            noise = noise * noise_scale
+        sigmas = sigmas + noise
 
     alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))  # (SB, B, K)
     alphas_shifted = jnp.concatenate(
@@ -368,6 +373,7 @@ def render_rays(
     use_viewdirs: bool = True,
     accel=None,  # Optional[accel.OccupancyGrid] — eval-only sample pruning
     z_coarse: Optional[Array] = None,  # (SB, B, Kc) precomputed coarse draw
+    noise_scale: Optional[Array] = None,  # dynamic sigma-noise multiplier
 ) -> Dict[str, Any]:
     """Full coarse+fine render (reference nerf.py:251-303).
 
@@ -411,6 +417,7 @@ def render_rays(
         training=training,
         use_viewdirs=use_viewdirs,
         point_mask=mask_c,
+        noise_scale=noise_scale,
     )
 
     def pack(weights, rgb, depth):
@@ -481,6 +488,7 @@ def render_rays(
             training=training,
             use_viewdirs=use_viewdirs,
             point_mask=mask_f,
+            noise_scale=noise_scale,
         )
         outputs["fine"] = pack(weights_f, rgb_f, depth_f)
 

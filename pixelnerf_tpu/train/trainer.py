@@ -155,7 +155,8 @@ def make_step_fns(
         else (lambda: jax.default_matmul_precision("default"))
     )
 
-    def compute_loss(params, batch_stats, batch, rng, training: bool):
+    def compute_loss(params, batch_stats, batch, rng, training: bool,
+                     noise_scale=None):
         rng_render, rng_drop = jax.random.split(rng)
         variables = {"params": params, "batch_stats": batch_stats}
         c = batch.get("c")
@@ -250,6 +251,7 @@ def make_step_fns(
             want_weights=False,
             training=training,
             use_viewdirs=use_viewdirs,
+            noise_scale=noise_scale,
         )
         rgb_gt = batch["rgb_gt"]
         loss_c = rgb_coarse_crit(out["coarse"]["rgb"], rgb_gt)
@@ -262,10 +264,15 @@ def make_step_fns(
         loss_dict["t"] = loss
         return loss, (new_batch_stats, loss_dict)
 
-    def train_step(state: TrainState, batch: dict, rng: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array,
+                   noise_scale=None):
+        """``noise_scale`` optionally anneals cfg.noise_std per step (a traced
+        scalar — no recompile across a schedule)."""
         with precision_ctx():
             grad_fn = jax.value_and_grad(
-                lambda p: compute_loss(p, state.batch_stats, batch, rng, True),
+                lambda p: compute_loss(
+                    p, state.batch_stats, batch, rng, True, noise_scale
+                ),
                 has_aux=True,
             )
             (loss, (new_bs, loss_dict)), grads = grad_fn(state.params)
