@@ -516,19 +516,9 @@ def test_load_pretrained_backbones_from_file(tmp_path, monkeypatch):
         method=PixelNeRFNet.query,
     )
     assert np.isfinite(np.asarray(out)).all()
-
-    # offline + no file -> warn and keep random init
-    monkeypatch.delenv("PIXELNERF_BACKBONE_WEIGHTS")
-    import warnings as _w
-
-    with _w.catch_warnings(record=True) as rec:
-        _w.simplefilter("always")
-        same = torch_convert.load_pretrained_backbones(variables, conf["model"])
-    assert any("unavailable" in str(r.message) for r in rec)
-    np.testing.assert_allclose(
-        np.asarray(same["params"]["encoder"]["model"]["conv1"]["kernel"]),
-        np.asarray(variables["params"]["encoder"]["model"]["conv1"]["kernel"]),
-    )
+    # (the offline/no-weights path is covered by
+    # test_backbone_fallback_chain_raises_loudly: it now raises unless
+    # PIXELNERF_ALLOW_RANDOM_BACKBONE=1)
 
 
 def test_pixelnerf_query_end_to_end_torch_oracle():
