@@ -15,6 +15,7 @@ exact configuration surface of the reference encoder (encoder.py:23-26,51-55).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +23,18 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 # feature tables up to this many rows backprop via a chunked one-hot matmul
-# (MXU); larger tables fall back to XLA scatter-add
-_ONEHOT_BWD_MAX_ROWS = 4096
-_ONEHOT_BWD_CHUNK = 1 << 17
+# (MXU); larger tables fall back to XLA scatter-add.  The point-chunk size
+# adapts to the table so the one-hot S matrix stays within a fixed VMEM
+# footprint.  The default is the measured crossover on one v5e chip at
+# N=12032, C=512 (grad-of-sum through gather_taps, 5-call mean): one-hot/
+# scatter ms = 9.0/12.7 at T=4096, 10.3/12.7 at 8k, 12.5/13.8 at 16k,
+# 22.0/15.5 at 30k — the one-hot matmul cost scales with T and loses to
+# scatter near T~20k (docs/PERFORMANCE.md "Training at realistic scale").
+_ONEHOT_BWD_MAX_ROWS = int(
+    os.environ.get("PIXELNERF_ONEHOT_BWD_MAX_ROWS", 16384)
+)
+# cap on chunk*T one-hot elements (bf16 S tile ~32 MB at the default)
+_ONEHOT_BWD_MAX_S_ELEMS = 1 << 24
 
 
 @jax.custom_vjp
@@ -66,7 +76,7 @@ def _gather_taps_bwd(res, g):
     if T <= _ONEHOT_BWD_MAX_ROWS:
         def per_view(idx_b, w_b, g_b):
             N = idx_b.shape[0]
-            chunk = min(_ONEHOT_BWD_CHUNK, N)
+            chunk = min(max(_ONEHOT_BWD_MAX_S_ELEMS // T, 128), N)
             n_chunks = -(-N // chunk)
             pad = n_chunks * chunk - N
             idx_p = jnp.pad(idx_b, ((0, pad), (0, 0)), constant_values=0)
@@ -89,15 +99,22 @@ def _gather_taps_bwd(res, g):
                     preferred_element_type=jnp.float32,
                 )
 
-            parts = jax.lax.map(
-                one,
+            def step(acc, args):
+                # carried (T, C) accumulator: lax.map + sum would materialize
+                # all n_chunks partials (n_chunks x T x C blows HBM at DTU
+                # full-res shapes)
+                return acc + one(args), None
+
+            acc, _ = jax.lax.scan(
+                step,
+                jnp.zeros((T, g_b.shape[-1]), jnp.float32),
                 (
                     idx_p.reshape(n_chunks, chunk, n_taps),
                     w_p.reshape(n_chunks, chunk, n_taps),
                     g_p.reshape(n_chunks, chunk, -1),
                 ),
             )
-            return jnp.sum(parts, axis=0)
+            return acc
 
         d_flat = jax.vmap(per_view)(idx, w, g)
     else:

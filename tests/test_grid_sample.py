@@ -165,6 +165,43 @@ def test_gather_taps_scatter_fallback_gradient():
     )
 
 
+def test_gather_taps_adaptive_chunk_gradient():
+    """Large tables stay on the one-hot path with an adapted point-chunk size
+    (chunk = S-budget // T); shrink the budget to force multiple chunks plus
+    ragged padding and check parity against the scatter gradient."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    gsm = importlib.import_module("pixelnerf_tpu.ops.grid_sample")
+
+    rng = np.random.default_rng(5)
+    B, T, C, N = 2, 300, 4, 333  # N not a multiple of the forced chunk (128)
+    flat = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, size=(B, N, 4)), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    def loss(flat):
+        return jnp.sum(gsm.gather_taps(flat, idx, w) * g_out)
+
+    orig_budget = gsm._ONEHOT_BWD_MAX_S_ELEMS
+    orig_rows = gsm._ONEHOT_BWD_MAX_ROWS
+    try:
+        gsm._ONEHOT_BWD_MAX_S_ELEMS = 4096  # -> chunk = max(4096//300, 128)
+        gsm._ONEHOT_BWD_MAX_ROWS = 10**9
+        g_onehot = jax.grad(loss)(flat)
+        gsm._ONEHOT_BWD_MAX_ROWS = 0  # scatter oracle
+        g_scatter = jax.grad(loss)(flat)
+    finally:
+        gsm._ONEHOT_BWD_MAX_S_ELEMS = orig_budget
+        gsm._ONEHOT_BWD_MAX_ROWS = orig_rows
+    np.testing.assert_allclose(
+        np.asarray(g_onehot), np.asarray(g_scatter), atol=2e-2, rtol=2e-2
+    )
+
+
 def test_resize_bilinear_align_corners_matches_torch():
     import torch
     import torch.nn.functional as F
