@@ -81,7 +81,11 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
             params[head]["lin_out"]["bias"] = b
     params = flax.serialization.from_state_dict(variables["params"], params)
 
-    opt = optax.adam(float(os.environ.get("BENCH_TRAIN_LR", "3e-4")))
+    # lr 1e-4 = the reference's training lr (conf/default.conf), and the only
+    # tested rate at which this wide net escapes the all-white plateau:
+    # measured fg_frac after 4000 steps — 1e-3: 0.000, 3e-4: 0.000 (loss
+    # stuck at 0.32), 1e-4: 0.350 (loss 0.159, object renders)
+    opt = optax.adam(float(os.environ.get("BENCH_TRAIN_LR", "1e-4")))
     state = TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
@@ -147,9 +151,22 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         )
         return state, losses
 
+    # segment the scan: a single >~1000-step dispatch runs long enough to
+    # trip the TPU worker watchdog through the tunnel (measured crash at
+    # 4000); equal-length segments reuse one compiled program
+    seg = 1000
+    assert steps % seg == 0 or steps < seg, steps
+    seg = min(seg, steps)
     t0 = time.perf_counter()
-    state, losses = run(state, rays_T, gt_T, noise_T, jax.random.PRNGKey(2))
-    losses = np.asarray(losses)
+    parts = []
+    for si in range(steps // seg):
+        sl = slice(si * seg, (si + 1) * seg)
+        state, ls = run(
+            state, rays_T[sl], gt_T[sl], noise_T[sl],
+            jax.random.fold_in(jax.random.PRNGKey(2), si),
+        )
+        parts.append(np.asarray(ls))
+    losses = np.concatenate(parts)
     log(
         f"bench: quick-train {steps} steps in "
         f"{time.perf_counter() - t0:.1f}s, loss {losses[0]:.4f} -> "
@@ -271,17 +288,31 @@ def main():
             use_accel = False
     if use_accel:
         t0 = time.perf_counter()
+        # "proposal" = ray compaction + grid-guided importance sampling in
+        # place of the coarse MLP pass (render/renderer.py accel_mode docs);
+        # the PSNR gate below steps down proposal -> rays -> dense if the
+        # grid misrepresents the field, so the timed number can never ride a
+        # degenerate render
+        mode = os.environ.get("BENCH_ACCEL_MODE", "proposal")
+        pipeline.set_accel_mode(mode)
         pipeline.build_accel(variables, scene, rays)
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
-        rgb_pruned, _ = pipeline.render_simple(
-            variables, scene, rays, rng, ray_batch_size=chunk
-        )
-        mse = float(np.mean((np.asarray(rgb_pruned) - rgb_dense) ** 2))
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        log(f"bench: pruned-vs-dense PSNR {psnr:.1f} dB")
-        if psnr < 30.0:
-            log("bench: PSNR gate failed; disabling accel for timing")
-            pipeline.accel = None
+        while pipeline.accel is not None:
+            rgb_pruned, _ = pipeline.render_simple(
+                variables, scene, rays, rng, ray_batch_size=chunk
+            )
+            mse = float(np.mean((np.asarray(rgb_pruned) - rgb_dense) ** 2))
+            psnr = -10.0 * np.log10(max(mse, 1e-12))
+            log(f"bench: {mode}-vs-dense PSNR {psnr:.1f} dB")
+            if psnr >= 30.0:
+                break
+            if mode == "proposal":
+                mode = "rays"
+                pipeline.set_accel_mode(mode)
+                log("bench: PSNR gate failed; falling back to accel_mode=rays")
+            else:
+                log("bench: PSNR gate failed; disabling accel for timing")
+                pipeline.accel = None
 
     # warmup / compile
     pipeline.render_simple(variables, scene, rays, rng, ray_batch_size=chunk)

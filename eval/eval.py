@@ -86,6 +86,18 @@ def extra_args(parser):
         choices=["auto", "xla", "pallas"],
         help="Field MLP implementation (auto = fused Pallas kernel on TPU)",
     )
+    parser.add_argument(
+        "--accel",
+        type=str,
+        default="off",
+        choices=["off", "rays", "proposal"],
+        help="Opt-in per-object occupancy-grid pruning (render/accel.py) to "
+        "speed up full-split evals: 'rays' skips verified-empty rays "
+        "(matches the dense render), 'proposal' replaces the coarse MLP "
+        "pass with grid-guided sampling (fastest; small stochastic "
+        "deviation — do not combine with --coarse).  Default off: the "
+        "quality-parity eval composites every sample like the reference",
+    )
     return parser
 
 
@@ -267,6 +279,16 @@ def main():
             method=PixelNeRFNet.encode,
         )
         rng, obj_rng = jax.random.split(rng)
+        if args.accel != "off" and jax.default_backend() != "cpu":
+            if args.coarse and args.accel == "proposal":
+                raise SystemExit(
+                    "--accel proposal renders only the fine head; "
+                    "it cannot be combined with --coarse"
+                )
+            # per-object grid: one field-probe pass amortized over all of the
+            # object's target views
+            pipeline.set_accel_mode(args.accel)
+            pipeline.build_accel(variables, scene, all_rays)
         all_rgb, all_depth = pipeline.render_simple(
             variables, scene, all_rays, obj_rng, ray_batch_size=args.ray_batch_size
         )

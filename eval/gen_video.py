@@ -70,6 +70,17 @@ def extra_args(parser):
         help="Disable the per-scene occupancy-grid sample pruning "
         "(render/accel.py) and composite every sample like the reference",
     )
+    parser.add_argument(
+        "--accel_mode",
+        type=str,
+        default="rays",
+        choices=["rays", "proposal", "samples"],
+        help="Occupancy-pruning strategy: 'rays' skips whole verified-empty "
+        "rays (bit-consistent with a dense render), 'proposal' additionally "
+        "replaces the coarse MLP pass with grid-guided importance sampling "
+        "(fastest; small stochastic deviation from the dense render), "
+        "'samples' compacts individual samples",
+    )
     return parser
 
 
@@ -200,6 +211,7 @@ def main():
     # skip it: the grid build is itself a large field-probe pass that only
     # pays off at accelerator rates.
     if not args.no_accel and jax.default_backend() != "cpu":
+        pipeline.set_accel_mode(args.accel_mode)
         pipeline.build_accel(variables, scene, render_rays_all)
 
     print("Rendering", args.num_views * H * W, "rays")

@@ -348,7 +348,7 @@ class RenderPipeline:
             f"capacities {cap_c}/{cap_f}",
             file=sys.stderr,
         )
-        key_cap = cap_r if cfg.accel_mode == "rays" else cap_c
+        key_cap = cap_r if cfg.accel_mode in ("rays", "proposal") else cap_c
         if key_cap >= 0.95:
             # nothing to prune — compaction would be pure overhead
             print(
@@ -362,6 +362,16 @@ class RenderPipeline:
             accel_capacity_rays=cap_r,
             accel_capacity=cap_c,
             accel_capacity_fine=cap_f,
+        )
+
+    def set_accel_mode(self, mode: str) -> None:
+        """Switch the occupancy-pruning strategy for subsequent renders:
+        "rays" (ray compaction, bit-consistent with dense), "proposal" (ray
+        compaction + grid-proposal coarse — fastest; the coarse head becomes
+        a proposal, not a render), or "samples" (per-sample compaction)."""
+        assert mode in ("rays", "proposal", "samples"), mode
+        self.renderer.base_cfg = dataclasses.replace(
+            self.renderer.base_cfg, accel_mode=mode
         )
 
     def render(

@@ -55,8 +55,19 @@ class RenderConfig:
     #   ~100x cheaper than per-sample gathers, and miss rays dominate object-
     #   centric renders.  "samples": per-sample compaction through the field
     #   (wins only when the live fraction is far below the ~40% break-even of
-    #   the measured 25-40 ms/Mpt gather+scatter overhead; docs/PERFORMANCE.md)
+    #   the measured 25-40 ms/Mpt gather+scatter overhead; docs/PERFORMANCE.md).
+    #   "proposal": ray compaction PLUS the coarse MLP pass is replaced by
+    #   occupancy-grid lookups as the importance-sampling proposal — the fine
+    #   union becomes accel_proposal_samples grid-guided draws + n_fine_depth
+    #   depth draws (the n_coarse probe z's are never MLP-evaluated), cutting
+    #   field FLOPs ~2.7x vs dense.  The "coarse" head then holds the proposal
+    #   (rgb = background, depth/weights from the grid mask), not a render —
+    #   use the fine head (gen_video/eval default); eval --coarse must not use
+    #   this mode.
     accel_mode: str = "rays"
+    # "proposal" mode: importance samples drawn from the grid-mask pdf in
+    # place of the coarse pass (the fine union is this + n_fine_depth)
+    accel_proposal_samples: int = 48
     # static compaction capacities as a fraction of the chunk; chunks with
     # more live elements fall back to the dense path (lax.cond), so results
     # are never wrong, only occasionally unpruned
@@ -98,6 +109,7 @@ class RenderConfig:
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
             accel_mode=conf.get_string("accel_mode", "rays"),
+            accel_proposal_samples=conf.get_int("accel_proposal_samples", 48),
             accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
             accel_capacity_fine=(
@@ -287,6 +299,7 @@ def _render_rays_ray_compacted(
     want_weights: bool,
     use_viewdirs: bool,
     accel,
+    proposal: bool = False,
 ) -> Dict[str, Any]:
     """Ray-level occupancy pruning: rays whose EVERY coarse sample lands in
     verified-empty space render to pure background without touching the field.
@@ -298,16 +311,23 @@ def _render_rays_ray_compacted(
     eats the pruning win; per-ray gathers are ~K times smaller.  A chunk with
     more live rays than capacity renders dense via ``lax.cond`` (never wrong,
     only unpruned).  The reference has no equivalent (nerf.py:163-249).
+
+    With ``proposal`` the inner render additionally replaces the coarse MLP
+    pass by grid-lookup importance sampling (accel_mode="proposal" —
+    see :func:`render_rays`); the cond branches stay consistent because both
+    use the same proposal sampling.
     """
     from .accel import occupancy_lookup
 
     _, B, _ = rays.shape
     capacity = min(max(_round_up(int(cfg.accel_capacity_rays * B), 256), 256), B)
 
+    inner_accel = accel if proposal else None
     if capacity >= B:
         return render_rays(
             model_fn, rays, rng, cfg,
-            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+            want_weights=want_weights, use_viewdirs=use_viewdirs,
+            accel=inner_accel, proposal=proposal,
         )
 
     # draw the coarse z with the SAME key the dense path would (split below
@@ -330,7 +350,8 @@ def _render_rays_ray_compacted(
     def dense(_):
         return render_rays(
             model_fn, rays, rng, cfg,
-            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+            want_weights=want_weights, use_viewdirs=use_viewdirs,
+            accel=inner_accel, proposal=proposal,
             z_coarse=z_full[None],
         )
 
@@ -340,7 +361,8 @@ def _render_rays_ray_compacted(
         cz = jnp.take(z_full, idx, axis=0, mode="clip")[None]
         out = render_rays(
             model_fn, crays, rng, cfg,
-            want_weights=want_weights, use_viewdirs=use_viewdirs, accel=None,
+            want_weights=want_weights, use_viewdirs=use_viewdirs,
+            accel=inner_accel, proposal=proposal,
             z_coarse=cz,
         )
 
@@ -374,24 +396,29 @@ def render_rays(
     accel=None,  # Optional[accel.OccupancyGrid] — eval-only sample pruning
     z_coarse: Optional[Array] = None,  # (SB, B, Kc) precomputed coarse draw
     noise_scale: Optional[Array] = None,  # dynamic sigma-noise multiplier
+    proposal: bool = False,  # internal: grid-proposal coarse (accel_mode="proposal")
 ) -> Dict[str, Any]:
     """Full coarse+fine render (reference nerf.py:251-303).
 
     :param accel: optional per-scene occupancy grid (render/accel.py): whole
-        rays through verified-empty space (accel_mode="rays"), or individual
-        samples in empty space / behind an opaque surface ("samples"), are
-        pruned before the field MLP (the reference has no equivalent — it
-        evaluates everything, nerf.py:163-249)
+        rays through verified-empty space (accel_mode="rays"/"proposal"), or
+        individual samples in empty space / behind an opaque surface
+        ("samples"), are pruned before the field MLP (the reference has no
+        equivalent — it evaluates everything, nerf.py:163-249).  Under
+        "proposal" the coarse MLP pass itself is replaced by grid lookups
+        (see RenderConfig.accel_mode).
     :return: {"coarse": {rgb, depth[, weights]}, "fine": {...}} ("fine" present
         only when cfg.using_fine)
     """
     assert rays.ndim == 3
     SB, B, _ = rays.shape
     use_accel = accel is not None and not training and SB == 1
-    if use_accel and cfg.accel_mode == "rays":
+    if use_accel and not proposal and cfg.accel_mode in ("rays", "proposal"):
         return _render_rays_ray_compacted(
-            model_fn, rays, rng, cfg, want_weights, use_viewdirs, accel
+            model_fn, rays, rng, cfg, want_weights, use_viewdirs, accel,
+            proposal=cfg.accel_mode == "proposal" and cfg.using_fine,
         )
+    samples_mode = use_accel and not proposal  # accel_mode == "samples"
 
     rng_c, rng_noise_c, rng_f, rng_fd, rng_noise_f = jax.random.split(rng, 5)
     flat_rays = rays.reshape(SB * B, 8)
@@ -401,24 +428,45 @@ def render_rays(
             flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
         ).reshape(SB, B, cfg.n_coarse)
 
-    mask_c = None
-    if use_accel:
+    if proposal:
+        # grid-proposal coarse: no MLP — the occupancy mask at the stratified
+        # probe z's is the importance pdf, its weighted mean the depth
+        # estimate, and the "coarse" head reports the proposal (rgb =
+        # background) rather than a render
         from .accel import occupancy_lookup
 
-        mask_c = occupancy_lookup(accel, _sample_points(rays, z_coarse))
+        wmask = occupancy_lookup(
+            accel, _sample_points(rays, z_coarse)
+        ).astype(jnp.float32)  # (SB, B, Kc)
+        wsum = jnp.sum(wmask, axis=-1)  # (SB, B)
+        mid = 0.5 * (rays[..., 6] + rays[..., 7])
+        depth_c = jnp.where(
+            wsum > 0.0,
+            jnp.sum(wmask * z_coarse, axis=-1) / jnp.maximum(wsum, 1e-9),
+            mid,
+        )
+        weights_c = wmask / jnp.maximum(wsum, 1.0)[..., None]
+        bg = 1.0 if cfg.white_bkgd else 0.0
+        rgb_c = jnp.full((SB, B, 3), bg, jnp.float32)
+    else:
+        mask_c = None
+        if samples_mode:
+            from .accel import occupancy_lookup
 
-    weights_c, rgb_c, depth_c = composite(
-        model_fn,
-        rays,
-        z_coarse,
-        cfg,
-        coarse=True,
-        rng=rng_noise_c,
-        training=training,
-        use_viewdirs=use_viewdirs,
-        point_mask=mask_c,
-        noise_scale=noise_scale,
-    )
+            mask_c = occupancy_lookup(accel, _sample_points(rays, z_coarse))
+
+        weights_c, rgb_c, depth_c = composite(
+            model_fn,
+            rays,
+            z_coarse,
+            cfg,
+            coarse=True,
+            rng=rng_noise_c,
+            training=training,
+            use_viewdirs=use_viewdirs,
+            point_mask=mask_c,
+            noise_scale=noise_scale,
+        )
 
     def pack(weights, rgb, depth):
         out = {"rgb": rgb, "depth": depth}
@@ -429,12 +477,21 @@ def render_rays(
     outputs = {"coarse": pack(weights_c, rgb_c, depth_c)}
 
     if cfg.using_fine:
-        all_samps = [z_coarse]
-        if cfg.n_fine - cfg.n_fine_depth > 0:
+        # proposal mode: the fine union drops the n_coarse probe z's (never
+        # MLP-evaluated) and instead draws accel_proposal_samples from the
+        # grid-mask pdf — total union accel_proposal_samples + n_fine_depth
+        # instead of n_coarse + n_fine
+        all_samps = [] if proposal else [z_coarse]
+        n_importance = (
+            cfg.accel_proposal_samples
+            if proposal
+            else cfg.n_fine - cfg.n_fine_depth
+        )
+        if n_importance > 0:
             z_fine = ray_sampling.sample_fine(
                 flat_rays,
                 weights_c.reshape(SB * B, cfg.n_coarse),
-                cfg.n_fine - cfg.n_fine_depth,
+                n_importance,
                 cfg.n_coarse,
                 rng_f,
                 lindisp=cfg.lindisp,
@@ -452,7 +509,7 @@ def render_rays(
         z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
 
         mask_f = None
-        if use_accel:
+        if samples_mode:
             from .accel import occupancy_lookup
 
             # (a) empty-space test per sample

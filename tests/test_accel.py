@@ -304,3 +304,74 @@ def test_pipeline_build_accel_and_render(monkeypatch):
     monkeypatch.setenv("PIXELNERF_ACCEL", "0")
     assert pipeline.build_accel(variables, scene, rays) is None
     assert pipeline.accel is None
+
+
+def test_proposal_render_matches_dense():
+    """Grid-proposal mode (accel_mode="proposal") replaces the coarse MLP
+    with occupancy lookups and shrinks the fine union to
+    accel_proposal_samples + n_fine_depth grid-guided draws.  On the analytic
+    sphere (sigma exactly zero outside) the fine head must match a dense
+    render to >= 30 dB, and the coarse head must report the proposal
+    contract (rgb == background)."""
+    rays = camera_rays(1024)
+    grid = build_sphere_grid(rays)
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="proposal", accel_proposal_samples=24,
+        accel_capacity_rays=0.75,
+    )
+    dense = _render(rays, cfg, accel=None)
+    prop = _render(rays, cfg, accel=grid)
+
+    # fine union = 24 proposal + 8 depth samples
+    assert prop["fine"]["weights"].shape[-1] == 32
+    # coarse head is the proposal: background rgb everywhere
+    np.testing.assert_allclose(prop["coarse"]["rgb"], 1.0, atol=1e-6)
+
+    mse = float(np.mean((prop["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, psnr
+    # depth agreement on rays that hit the sphere (miss rays composite ~0)
+    hit = dense["fine"]["weights"].sum(axis=-1)[0] > 0.5
+    assert hit.any()
+    d_err = np.abs(prop["fine"]["depth"][0, hit] - dense["fine"]["depth"][0, hit])
+    assert np.median(d_err) < 0.05, np.median(d_err)
+
+
+def test_proposal_capacity_overflow_uses_proposal_dense():
+    """Over-capacity chunks in proposal mode fall back to a DENSE-RAY render
+    that still uses proposal sampling (consistent cond branches; finite)."""
+    rays = camera_rays(512)
+    lo, hi = aabb_from_rays(rays)
+    grid = OccupancyGrid(
+        occ=jnp.ones((16**3,), jnp.float32),
+        lo=jnp.asarray(lo),
+        inv_cell=16.0 / (jnp.asarray(hi) - jnp.asarray(lo)),
+        resolution=16,
+    )
+    cfg = RenderConfig(
+        n_coarse=16, n_fine=8, n_fine_depth=4, accel_mode="proposal",
+        accel_proposal_samples=12, accel_capacity_rays=0.25,
+        white_bkgd=True,
+    )
+    out = _render(rays, cfg, accel=grid)
+    assert out["fine"]["weights"].shape[-1] == 16  # 12 proposal + 4 depth
+    for head in out.values():
+        for v in head.values():
+            assert np.isfinite(v).all()
+
+
+def test_proposal_without_fine_degrades_to_ray_mode():
+    """accel_mode="proposal" with n_fine == 0 must not drop the only MLP
+    pass — it degrades to plain ray compaction (coarse head is a render)."""
+    rays = camera_rays(256)
+    grid = build_sphere_grid(rays)
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=0, white_bkgd=True,
+        accel_mode="proposal", accel_capacity_rays=0.75,
+    )
+    dense = _render(rays, cfg, accel=None)
+    pruned = _render(rays, cfg, accel=grid)
+    np.testing.assert_allclose(
+        pruned["coarse"]["rgb"], dense["coarse"]["rgb"], atol=2e-3
+    )
