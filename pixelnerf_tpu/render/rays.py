@@ -38,10 +38,17 @@ def sample_fine(
     n_coarse: int,
     rng: Array,
     lindisp: bool = False,
+    stratified: bool = False,
 ) -> Array:
     """Importance sampling by inverting the coarse weight CDF (nerf.py:120-148).
 
     :param weights: (B, Kc) coarse compositing weights (gradient is stopped here)
+    :param stratified: draw u from one jittered point per 1/n_fine quantile
+        instead of iid uniforms — low-discrepancy inverse-CDF sampling that
+        covers the pdf's support strictly more evenly at the same count.
+        Used by the grid-proposal render path (renderer accel_mode docs);
+        the reference's importance sampler is iid (nerf.py:133), so the
+        default stays iid for parity.
     :return: (B, n_fine) z values
     """
     B = rays.shape[0]
@@ -51,7 +58,13 @@ def sample_fine(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (B, Kc+1)
 
     rng_u, rng_jitter = jax.random.split(rng)
-    u = jax.random.uniform(rng_u, (B, n_fine), dtype=jnp.float32)
+    if stratified:
+        u = (
+            jnp.arange(n_fine, dtype=jnp.float32)[None]
+            + jax.random.uniform(rng_u, (B, n_fine), dtype=jnp.float32)
+        ) / n_fine
+    else:
+        u = jax.random.uniform(rng_u, (B, n_fine), dtype=jnp.float32)
     # searchsorted(side="right") - 1 == count of cdf bins strictly below u.
     # XLA lowers vmapped searchsorted to a sequential while-loop (~7.6 ms per
     # 8k-ray chunk on a v5e); the dense compare-and-sum is one fused VPU pass

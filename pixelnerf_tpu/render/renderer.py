@@ -65,9 +65,9 @@ class RenderConfig:
     #   use the fine head (gen_video/eval default); eval --coarse must not use
     #   this mode.
     accel_mode: str = "rays"
-    # "proposal" mode: importance samples drawn from the grid-mask pdf in
-    # place of the coarse pass (the fine union is this + n_fine_depth)
-    accel_proposal_samples: int = 48
+    # "proposal" mode: stratified importance samples drawn from the grid-mask
+    # pdf in place of the coarse pass (the fine union is this + n_fine_depth)
+    accel_proposal_samples: int = 40
     # static compaction capacities as a fraction of the chunk; chunks with
     # more live elements fall back to the dense path (lax.cond), so results
     # are never wrong, only occasionally unpruned
@@ -109,7 +109,7 @@ class RenderConfig:
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
             accel_mode=conf.get_string("accel_mode", "rays"),
-            accel_proposal_samples=conf.get_int("accel_proposal_samples", 48),
+            accel_proposal_samples=conf.get_int("accel_proposal_samples", 40),
             accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
             accel_capacity_fine=(
@@ -495,6 +495,11 @@ def render_rays(
                 cfg.n_coarse,
                 rng_f,
                 lindisp=cfg.lindisp,
+                # proposal draws are stratified (low-discrepancy): a binary
+                # mask pdf clumps iid draws, stratified u covers the occupied
+                # support evenly at the same count.  The parity path keeps
+                # the reference's iid draw (nerf.py:133).
+                stratified=proposal,
             ).reshape(SB, B, -1)
             all_samps.append(z_fine)
         if cfg.n_fine_depth > 0:
