@@ -153,19 +153,20 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
 
     # segment the scan: a single >~1000-step dispatch runs long enough to
     # trip the TPU worker watchdog through the tunnel (measured crash at
-    # 4000); equal-length segments reuse one compiled program
-    seg = 1000
-    assert steps % seg == 0 or steps < seg, steps
-    seg = min(seg, steps)
+    # 4000); equal-length segments reuse one compiled program (a shorter
+    # tail segment costs at most one extra compile)
+    seg = min(1000, steps)
     t0 = time.perf_counter()
     parts = []
-    for si in range(steps // seg):
-        sl = slice(si * seg, (si + 1) * seg)
+    start = 0
+    while start < steps:
+        sl = slice(start, start + min(seg, steps - start))
         state, ls = run(
             state, rays_T[sl], gt_T[sl], noise_T[sl],
-            jax.random.fold_in(jax.random.PRNGKey(2), si),
+            jax.random.fold_in(jax.random.PRNGKey(2), start),
         )
         parts.append(np.asarray(ls))
+        start = sl.stop
     losses = np.concatenate(parts)
     log(
         f"bench: quick-train {steps} steps in "

@@ -93,10 +93,12 @@ def extra_args(parser):
         choices=["off", "rays", "proposal"],
         help="Opt-in per-object occupancy-grid pruning (render/accel.py) to "
         "speed up full-split evals: 'rays' skips verified-empty rays "
-        "(matches the dense render), 'proposal' replaces the coarse MLP "
-        "pass with grid-guided sampling (fastest; small stochastic "
-        "deviation — do not combine with --coarse).  Default off: the "
-        "quality-parity eval composites every sample like the reference",
+        "(identical coarse draw; kept rays' fine importance draws are "
+        "stochastically re-drawn, >= 40 dB vs dense), 'proposal' replaces "
+        "the coarse MLP pass with grid-guided sampling (fastest; small "
+        "stochastic deviation — do not combine with --coarse).  Default "
+        "off: the quality-parity eval composites every sample like the "
+        "reference",
     )
     return parser
 
@@ -116,6 +118,22 @@ def main():
 
     args, conf = parse_args(extra_args)
     args.resume = True
+
+    # accel validity is pure argparse state — fail/inform before any model
+    # construction or checkpoint loading
+    if args.coarse and args.accel == "proposal":
+        raise SystemExit(
+            "--accel proposal renders only the fine head; "
+            "it cannot be combined with --coarse"
+        )
+    use_accel = args.accel != "off"
+    if use_accel and jax.default_backend() == "cpu":
+        print(
+            f"WARNING: --accel {args.accel} ignored on the CPU backend "
+            "(the grid build is a large field-probe pass that only pays "
+            "off at accelerator rates); evaluating dense"
+        )
+        use_accel = False
 
     dset = get_split_dataset(
         args.dataset_format, args.datadir, want_split=args.split, training=False
@@ -269,6 +287,8 @@ def main():
                 make_ray_mesh(len(args.gpu_id)) if len(args.gpu_id) > 1 else None
             )
             pipeline = RenderPipeline(net, renderer, mesh=mesh)
+            if use_accel:
+                pipeline.set_accel_mode(args.accel)
 
         scene = net.apply(
             variables,
@@ -279,15 +299,9 @@ def main():
             method=PixelNeRFNet.encode,
         )
         rng, obj_rng = jax.random.split(rng)
-        if args.accel != "off" and jax.default_backend() != "cpu":
-            if args.coarse and args.accel == "proposal":
-                raise SystemExit(
-                    "--accel proposal renders only the fine head; "
-                    "it cannot be combined with --coarse"
-                )
+        if use_accel:
             # per-object grid: one field-probe pass amortized over all of the
             # object's target views
-            pipeline.set_accel_mode(args.accel)
             pipeline.build_accel(variables, scene, all_rays)
         all_rgb, all_depth = pipeline.render_simple(
             variables, scene, all_rays, obj_rng, ray_batch_size=args.ray_batch_size

@@ -54,6 +54,17 @@ def extra_args(parser):
         "--no_vid", action="store_true", help="Only write image frames"
     )
     parser.add_argument(
+        "--accel_mode",
+        type=str,
+        default=None,
+        choices=["off", "rays", "proposal", "samples"],
+        help="Per-image occupancy-grid pruning for the 360-degree render "
+        "(render/accel.py); 'proposal' is fastest (grid-guided sampling in "
+        "place of the coarse MLP pass), 'off' composites every sample like "
+        "the reference.  Default: the renderer conf's accel_mode ('rays' "
+        "if unset)",
+    )
+    parser.add_argument(
         "--mlp_impl",
         type=str,
         default="auto",
@@ -167,6 +178,10 @@ def main():
             jnp.asarray(focal),
             method=PixelNeRFNet.encode,
         )
+        if args.accel_mode != "off" and jax.default_backend() != "cpu":
+            if args.accel_mode is not None:  # else: conf accel_mode governs
+                pipeline.set_accel_mode(args.accel_mode)
+            pipeline.build_accel(variables, scene, render_rays_all)
         print("Rendering", args.num_views * H * W, "rays")
         rng, step = jax.random.split(rng)
         rgb_fine, _ = pipeline.render_simple(

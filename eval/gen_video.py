@@ -73,13 +73,15 @@ def extra_args(parser):
     parser.add_argument(
         "--accel_mode",
         type=str,
-        default="rays",
+        default=None,
         choices=["rays", "proposal", "samples"],
         help="Occupancy-pruning strategy: 'rays' skips whole verified-empty "
-        "rays (bit-consistent with a dense render), 'proposal' additionally "
-        "replaces the coarse MLP pass with grid-guided importance sampling "
-        "(fastest; small stochastic deviation from the dense render), "
-        "'samples' compacts individual samples",
+        "rays (identical coarse z draw; kept rays' fine importance draws "
+        "are stochastically re-drawn, >= 40 dB vs dense), 'proposal' "
+        "additionally replaces the coarse MLP pass with grid-guided "
+        "importance sampling (fastest; small stochastic deviation from the "
+        "dense render), 'samples' compacts individual samples.  Default: "
+        "the renderer conf's accel_mode ('rays' if unset)",
     )
     return parser
 
@@ -211,7 +213,8 @@ def main():
     # skip it: the grid build is itself a large field-probe pass that only
     # pays off at accelerator rates.
     if not args.no_accel and jax.default_backend() != "cpu":
-        pipeline.set_accel_mode(args.accel_mode)
+        if args.accel_mode is not None:  # else: conf-driven accel_mode governs
+            pipeline.set_accel_mode(args.accel_mode)
         pipeline.build_accel(variables, scene, render_rays_all)
 
     print("Rendering", args.num_views * H * W, "rays")

@@ -366,7 +366,8 @@ class RenderPipeline:
 
     def set_accel_mode(self, mode: str) -> None:
         """Switch the occupancy-pruning strategy for subsequent renders:
-        "rays" (ray compaction, bit-consistent with dense), "proposal" (ray
+        "rays" (ray compaction; identical coarse z draw, fine draws
+        stochastically re-drawn), "proposal" (ray
         compaction + grid-proposal coarse — fastest; the coarse head becomes
         a proposal, not a render), or "samples" (per-sample compaction)."""
         assert mode in ("rays", "proposal", "samples"), mode

@@ -60,7 +60,9 @@ class RenderConfig:
     #   occupancy-grid lookups as the importance-sampling proposal — the fine
     #   union becomes accel_proposal_samples grid-guided draws + n_fine_depth
     #   depth draws (the n_coarse probe z's are never MLP-evaluated), cutting
-    #   field FLOPs ~2.7x vs dense.  The "coarse" head then holds the proposal
+    #   field evals ~2.9x vs dense at the 64/32/16 default (dense: 64 coarse
+    #   + a 96-sample fine union = 160 evals/ray; proposal: 40 + 16 = 56).
+    #   The "coarse" head then holds the proposal
     #   (rgb = background, depth/weights from the grid mask), not a render —
     #   use the fine head (gen_video/eval default); eval --coarse must not use
     #   this mode.
@@ -314,8 +316,8 @@ def _render_rays_ray_compacted(
 
     With ``proposal`` the inner render additionally replaces the coarse MLP
     pass by grid-lookup importance sampling (accel_mode="proposal" —
-    see :func:`render_rays`); the cond branches stay consistent because both
-    use the same proposal sampling.
+    see :func:`render_rays`); both cond branches use the same proposal
+    sampling and the same empty-ray depth convention (0.0).
     """
     from .accel import occupancy_lookup
 
@@ -333,7 +335,11 @@ def _render_rays_ray_compacted(
     # draw the coarse z with the SAME key the dense path would (split below
     # mirrors render_rays), probe occupancy at the actual sample points, and
     # hand the draw back in — the dense fallback branch is then bit-identical
-    # to a plain dense render, and kept rays keep their exact z samples
+    # to a plain dense render, and kept rays keep their exact coarse z
+    # samples.  The compacted branch's FINE importance/depth draws use
+    # capacity-shaped RNG streams (vs B-shaped dense), so kept rays' fine
+    # output is stochastically equivalent, not bit-equal, to a dense render
+    # (tests/test_accel.py asserts >= 40 dB agreement)
     rng_c = jax.random.split(rng, 5)[0]
     flat = rays[0]
     z_full = ray_sampling.sample_coarse(
@@ -439,11 +445,14 @@ def render_rays(
             accel, _sample_points(rays, z_coarse)
         ).astype(jnp.float32)  # (SB, B, Kc)
         wsum = jnp.sum(wmask, axis=-1)  # (SB, B)
-        mid = 0.5 * (rays[..., 6] + rays[..., 7])
+        # fully-empty rays report depth 0.0 — matching both a dense composite
+        # of an empty ray (weights ~ 0 => depth ~ 0) and the scatter fill of
+        # the ray-compacted branch, so the proposal depth estimate is
+        # identical whichever lax.cond branch the chunk takes
         depth_c = jnp.where(
             wsum > 0.0,
             jnp.sum(wmask * z_coarse, axis=-1) / jnp.maximum(wsum, 1e-9),
-            mid,
+            0.0,
         )
         weights_c = wmask / jnp.maximum(wsum, 1.0)[..., None]
         bg = 1.0 if cfg.white_bkgd else 0.0
