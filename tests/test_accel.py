@@ -375,3 +375,42 @@ def test_proposal_without_fine_degrades_to_ray_mode():
     np.testing.assert_allclose(
         pruned["coarse"]["rgb"], dense["coarse"]["rgb"], atol=2e-3
     )
+
+
+def test_proposal_empty_ray_depth_branch_consistent():
+    """A fully-empty ray's proposal coarse depth must be 0.0 from BOTH
+    lax.cond branches: the compacted branch's scatter fill and the
+    over-capacity dense-proposal fallback's wsum==0 case (renderer.py
+    proposal depth convention — matches a dense composite of an empty ray,
+    whose weights ~ 0 give depth ~ 0)."""
+    rays = camera_rays(2048)
+    lo, hi = aabb_from_rays(rays)
+    empty_grid = OccupancyGrid(
+        occ=jnp.zeros((16**3,), jnp.float32),
+        lo=jnp.asarray(lo),
+        inv_cell=16.0 / (jnp.asarray(hi) - jnp.asarray(lo)),
+        resolution=16,
+    )
+    base = dict(
+        n_coarse=16, n_fine=8, n_fine_depth=4, white_bkgd=False,
+        accel_mode="proposal", accel_proposal_samples=12,
+    )
+    # 0.1 * 2048 -> capacity 256 < B: every ray is empty, so n_live = 0 and
+    # the COMPACTED branch scatter-fills all outputs
+    compacted = _render(
+        rays, RenderConfig(**base, accel_capacity_rays=0.1), accel=empty_grid
+    )
+    # capacity >= B short-circuits into the dense proposal render (the same
+    # code the over-capacity lax.cond branch runs)
+    dense = _render(
+        rays, RenderConfig(**base, accel_capacity_rays=1.0), accel=empty_grid
+    )
+    np.testing.assert_array_equal(compacted["coarse"]["depth"], 0.0)
+    np.testing.assert_array_equal(dense["coarse"]["depth"], 0.0)
+    # the proposal coarse head reports background rgb in both branches too
+    np.testing.assert_allclose(compacted["coarse"]["rgb"], 0.0, atol=1e-6)
+    np.testing.assert_allclose(dense["coarse"]["rgb"], 0.0, atol=1e-6)
+    # (fine heads are NOT compared: the grid deliberately contradicts the
+    # field here — dense proposal draws still strike the sphere while the
+    # compacted branch prunes every ray; grid fidelity is build_accel's
+    # contract, tested above)
