@@ -299,7 +299,10 @@ class RenderPipeline:
         occupied.  Since compaction runs per render chunk and frames mix
         object-dense and background-only regions, the capacity must cover the
         WORST chunk — estimated as the max live fraction over consecutive
-        4096-ray windows.  Sample mode: mean live-sample fraction; the fine
+        ``device_chunk``-ray windows (larger chunks mix object and background
+        regions, so their worst-window fraction sits closer to the mean and
+        the buffer can be proportionally smaller).  Sample mode: mean
+        live-sample fraction; the fine
         union conservatively counts importance samples fully live.
         Capacities round UP to 1/16 steps with a safety margin; overflowing
         chunks still fall back to the dense path.
@@ -324,7 +327,7 @@ class RenderPipeline:
             ray_live[s : s + 65536] = live.any(axis=-1)
             samp_live_sum += float(live.sum())
         fc = samp_live_sum / (N * kc)
-        win = min(4096, N)
+        win = min(max(self.device_chunk, 256), N)
         n_win = max(N // win, 1)
         fr_windows = (
             ray_live[: n_win * win].reshape(n_win, win).mean(axis=1)

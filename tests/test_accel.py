@@ -414,3 +414,73 @@ def test_proposal_empty_ray_depth_branch_consistent():
     # field here — dense proposal draws still strike the sphere while the
     # compacted branch prunes every ray; grid fidelity is build_accel's
     # contract, tested above)
+
+
+def test_mesh_sharded_accel_render_matches_single_device():
+    """Occupancy pruning under a ray-sharded mesh: on real multi-chip
+    hardware gen_video engages BOTH the grid accel and the ray mesh
+    (eval/gen_video.py builds the mesh from --gpu_id and build_accel runs
+    whenever the backend is not cpu) — the fixed-capacity compaction
+    (jnp.nonzero gather + scatter-back) must compile and produce the same
+    pixels under SPMD partitioning as on one device.  Same rng + same chunk
+    shapes => identical draws; sharding must not change the math."""
+    from pixelnerf_tpu.config import hocon
+    from pixelnerf_tpu.data import SyntheticDataset
+    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.parallel import RenderPipeline, make_ray_mesh
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+    from pixelnerf_tpu.utils import geometry
+
+    conf = hocon.parse_file("conf/exp/sn64.conf")
+    net = make_model(conf["model"], mlp_impl="xla")
+    ds = SyntheticDataset(n_objs=1, n_views=2, image_size=16)
+    sample = ds[0]
+    focal = np.float32(sample["focal"])
+    imgs = jnp.asarray(sample["images"][None, :1])
+    poses = jnp.asarray(sample["poses"][None, :1])
+    variables = net.init(
+        jax.random.PRNGKey(0), imgs, poses, jnp.asarray(focal),
+        jnp.zeros((1, 4, 3), jnp.float32), jnp.zeros((1, 4, 3), jnp.float32),
+    )
+    scene = net.apply(
+        variables, imgs, poses, jnp.asarray(focal), method=PixelNeRFNet.encode
+    )
+    rays = geometry.gen_rays_np(
+        sample["poses"][1:2], 16, 16, float(focal), 0.8, 1.8
+    ).reshape(-1, 8)
+
+    # a half-empty grid injected directly (build_accel on a random-init net
+    # may disable pruning as near-fully-occupied; the SPMD consistency
+    # contract holds for ANY grid as long as both pipelines share it)
+    lo, hi = aabb_from_rays(rays)
+    R = 8
+    centers = (np.arange(R) + 0.5) / R
+    gx, gy, gz = np.meshgrid(centers, centers, centers, indexing="ij")
+    occ = (gx < 0.5).astype(np.float32)  # occupy half the box
+    grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.asarray(lo),
+        inv_cell=R / (jnp.asarray(hi) - jnp.asarray(lo)),
+        resolution=R,
+    )
+
+    def make(mesh):
+        cfg = RenderConfig(
+            n_coarse=8, n_fine=6, n_fine_depth=2, white_bkgd=True,
+            accel_mode="proposal", accel_proposal_samples=8,
+            accel_capacity_rays=0.75,
+        )
+        pipe = RenderPipeline(net, renderer=NeRFRenderer(cfg), mesh=mesh)
+        pipe.accel = grid
+        return pipe
+
+    rng = jax.random.PRNGKey(5)
+    rgb1, depth1 = make(None).render_simple(
+        variables, scene, rays, rng, ray_batch_size=128
+    )
+    rgb8, depth8 = make(make_ray_mesh(8)).render_simple(
+        variables, scene, rays, rng, ray_batch_size=128
+    )
+    assert np.isfinite(rgb8).all()
+    np.testing.assert_allclose(rgb8, rgb1, atol=2e-5)
+    np.testing.assert_allclose(depth8, depth1, atol=2e-5)
