@@ -296,7 +296,7 @@ def main():
         # degenerate render
         mode = os.environ.get("BENCH_ACCEL_MODE", "proposal")
         pipeline.set_accel_mode(mode)
-        pipeline.build_accel(variables, scene, rays)
+        pipeline.build_accel(variables, scene, rays, ray_batch_size=chunk)
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
         while pipeline.accel is not None:
             rgb_pruned, _ = pipeline.render_simple(

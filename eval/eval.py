@@ -302,7 +302,10 @@ def main():
         if use_accel:
             # per-object grid: one field-probe pass amortized over all of the
             # object's target views
-            pipeline.build_accel(variables, scene, all_rays)
+            pipeline.build_accel(
+                variables, scene, all_rays,
+                ray_batch_size=args.ray_batch_size,
+            )
         all_rgb, all_depth = pipeline.render_simple(
             variables, scene, all_rays, obj_rng, ray_batch_size=args.ray_batch_size
         )

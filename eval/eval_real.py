@@ -181,7 +181,9 @@ def main():
         if args.accel_mode != "off" and jax.default_backend() != "cpu":
             if args.accel_mode is not None:  # else: conf accel_mode governs
                 pipeline.set_accel_mode(args.accel_mode)
-            pipeline.build_accel(variables, scene, render_rays_all)
+            pipeline.build_accel(
+                variables, scene, render_rays_all, ray_batch_size=80000
+            )
         print("Rendering", args.num_views * H * W, "rays")
         rng, step = jax.random.split(rng)
         rgb_fine, _ = pipeline.render_simple(

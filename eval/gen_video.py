@@ -215,7 +215,10 @@ def main():
     if not args.no_accel and jax.default_backend() != "cpu":
         if args.accel_mode is not None:  # else: conf-driven accel_mode governs
             pipeline.set_accel_mode(args.accel_mode)
-        pipeline.build_accel(variables, scene, render_rays_all)
+        pipeline.build_accel(
+            variables, scene, render_rays_all,
+            ray_batch_size=args.ray_batch_size,
+        )
 
     print("Rendering", args.num_views * H * W, "rays")
     rgb_fine, _depth = pipeline.render_simple(

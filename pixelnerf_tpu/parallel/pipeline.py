@@ -238,6 +238,7 @@ class RenderPipeline:
         eps_alpha: float = 1e-3,
         dilate: int = 1,
         n_dir_probes: int = 4,
+        ray_batch_size: Optional[int] = None,
     ):
         """Build a per-scene occupancy grid over the AABB of ``rays`` and
         enable sample pruning for subsequent renders (render/accel.py).
@@ -245,6 +246,11 @@ class RenderPipeline:
         Call after ``encode`` with the union of all rays that will be rendered
         (e.g. every video frame) — one grid amortizes over the whole render.
         ``PIXELNERF_ACCEL=0`` disables.  Returns the grid (or None).
+
+        :param ray_batch_size: the ``-R`` value later renders will pass, so
+            capacity windows match the effective render chunk
+            (``min(device_chunk, ray_batch_size)``) even when ``-R`` is
+            smaller than ``device_chunk``.
         """
         import os
 
@@ -288,10 +294,15 @@ class RenderPipeline:
             jnp.asarray(hi),
             jnp.float32(eps_alpha / max(delta, 1e-6)),
         )
-        self._autoselect_capacity(rays_np)
+        self._autoselect_capacity(rays_np, ray_batch_size=ray_batch_size)
         return self.accel
 
-    def _autoselect_capacity(self, rays_np: np.ndarray, margin: float = 1.15):
+    def _autoselect_capacity(
+        self,
+        rays_np: np.ndarray,
+        margin: float = 1.15,
+        ray_batch_size: Optional[int] = None,
+    ):
         """Size the static compaction buffers from measured live fractions of
         ``rays_np`` against the freshly built grid.
 
@@ -299,7 +310,7 @@ class RenderPipeline:
         occupied.  Since compaction runs per render chunk and frames mix
         object-dense and background-only regions, the capacity must cover the
         WORST chunk — estimated as the max live fraction over consecutive
-        ``device_chunk``-ray windows (larger chunks mix object and background
+        effective-chunk-sized ray windows (larger chunks mix object and background
         regions, so their worst-window fraction sits closer to the mean and
         the buffer can be proportionally smaller).  Sample mode: mean
         live-sample fraction; the fine
@@ -327,7 +338,10 @@ class RenderPipeline:
             ray_live[s : s + 65536] = live.any(axis=-1)
             samp_live_sum += float(live.sum())
         fc = samp_live_sum / (N * kc)
-        win = min(max(self.device_chunk, 256), N)
+        eff_chunk = self.device_chunk
+        if ray_batch_size is not None:
+            eff_chunk = min(eff_chunk, ray_batch_size)
+        win = min(max(eff_chunk, 256), N)
         n_win = max(N // win, 1)
         fr_windows = (
             ray_live[: n_win * win].reshape(n_win, win).mean(axis=1)

@@ -484,3 +484,56 @@ def test_mesh_sharded_accel_render_matches_single_device():
     assert np.isfinite(rgb8).all()
     np.testing.assert_allclose(rgb8, rgb1, atol=2e-5)
     np.testing.assert_allclose(depth8, depth1, atol=2e-5)
+
+
+def test_capacity_window_matches_effective_chunk():
+    """Capacity sizing must cover the WORST render chunk.  The effective
+    chunk is min(device_chunk, ray_batch_size) (pipeline._dispatch), so when
+    a caller renders with -R smaller than device_chunk, build_accel's
+    ray_batch_size hint must shrink the estimation window accordingly —
+    otherwise a chunk fully inside the object overflows its buffer and
+    silently falls back to the dense path every frame."""
+    from pixelnerf_tpu.parallel.pipeline import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+
+    cfg = RenderConfig(
+        n_coarse=8, n_fine=4, n_fine_depth=0, white_bkgd=True,
+        accel_mode="rays",
+    )
+    pipe = RenderPipeline.__new__(RenderPipeline)  # no model needed
+    pipe.device_chunk = 8192
+    R = 8
+    occ = np.zeros((R, R, R), np.float32)
+    occ[:, :, :4] = 1.0  # z < 0.5 occupied
+    grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    # 2048 rays marching +z over [0, 0.3]: the first 512 start inside the
+    # occupied half (100% live), the rest in empty space (0% live)
+    N = 2048
+    origins = np.zeros((N, 3), np.float32)
+    origins[:512, 2] = 0.1
+    origins[512:, 2] = 0.6
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    rays = np.concatenate(
+        [origins, dirs, np.zeros((N, 1), np.float32),
+         np.full((N, 1), 0.3, np.float32)], axis=1,
+    )
+
+    # without a hint the single whole-batch window averages occupied and
+    # empty regions: capacity ~0.25 x margin, an underestimate for the
+    # worst 512-ray chunk (fully live)
+    pipe.accel = grid
+    pipe.renderer = NeRFRenderer(cfg)
+    pipe._autoselect_capacity(rays)
+    assert pipe.renderer.base_cfg.accel_capacity_rays < 0.5
+
+    # with the hint the worst 512-ray window is fully live -> >= 0.95 ->
+    # pruning correctly disabled (static capacity 1.0 can never win)
+    pipe.accel = grid
+    pipe.renderer = NeRFRenderer(cfg)
+    pipe._autoselect_capacity(rays, ray_batch_size=512)
+    assert pipe.accel is None
