@@ -42,11 +42,20 @@ Array = jnp.ndarray
 
 
 class OccupancyGrid(flax.struct.PyTreeNode):
-    """Boolean occupancy over an axis-aligned box, stored flat for gathers."""
+    """Boolean occupancy over an axis-aligned box, stored flat for gathers.
+
+    ``sig`` optionally keeps the (dilated) max-sigma field the occupancy was
+    thresholded from: the grid-proposal render path (renderer accel_mode
+    "proposal") composites it into transmittance-weighted importance weights,
+    which concentrate fine samples at the surface instead of uniformly over
+    the occupied span (and give occluded bins ~zero pdf mass).  ``None``
+    falls back to the binary-mask pdf."""
 
     occ: Array  # (R*R*R,) float32 in {0, 1}
     lo: Array  # (3,) world-space box min corner
     inv_cell: Array  # (3,) R / (hi - lo)
+    sig: Optional[Array] = None  # (R*R*R,) float32 dilated max sigma
+    thresh: Optional[Array] = None  # () the build's sigma_thresh
     resolution: int = flax.struct.field(pytree_node=False, default=64)
 
 
@@ -130,20 +139,25 @@ def build_occupancy_grid(
             sig = jax.lax.map(one, pts).reshape(-1)[:P]
             sigma_max = jnp.maximum(sigma_max, sig)
 
-    occ = (sigma_max > sigma_thresh).astype(jnp.float32).reshape(R, R, R)
+    # dilate the sigma field itself (max-pool commutes with the threshold,
+    # so occ = dilated sigma > thresh is the same mask as dilating occ)
+    sig = jax.nn.relu(sigma_max).reshape(R, R, R)
     for _ in range(max(dilate, 0)):
-        occ = jax.lax.reduce_window(
-            occ,
+        sig = jax.lax.reduce_window(
+            sig,
             -jnp.inf,
             jax.lax.max,
             window_dimensions=(3, 3, 3),
             window_strides=(1, 1, 1),
             padding="SAME",
         )
+    occ = (sig > sigma_thresh).astype(jnp.float32)
     return OccupancyGrid(
         occ=occ.reshape(-1),
         lo=lo,
         inv_cell=R / jnp.maximum(extent, 1e-8),
+        sig=sig.reshape(-1),
+        thresh=jnp.asarray(sigma_thresh, jnp.float32),
         resolution=R,
     )
 
@@ -164,6 +178,25 @@ def occupancy_lookup(grid: OccupancyGrid, points: Array) -> Array:
     flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]
     occ = jnp.take(grid.occ, flat.reshape(-1), axis=0).reshape(flat.shape)
     return jnp.where(inside, occ > 0.5, True)
+
+
+def sigma_lookup(grid: OccupancyGrid, points: Array) -> Array:
+    """Nearest-voxel (dilated) sigma — the grid-proposal pdf's density source.
+
+    Points outside the box read ``grid.thresh``: the box only covers the
+    build rays' segments, so out-of-box points are unknown space — a small
+    positive sigma keeps them sampleable (conservative, like
+    :func:`occupancy_lookup` returning occupied) without letting them
+    outweigh real surface voxels.
+    """
+    R = grid.resolution
+    rel = (points - grid.lo) * grid.inv_cell
+    idx = jnp.floor(rel).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < R), axis=-1)
+    idx = jnp.clip(idx, 0, R - 1)
+    flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]
+    sig = jnp.take(grid.sig, flat.reshape(-1), axis=0).reshape(flat.shape)
+    return jnp.where(inside, sig, grid.thresh)
 
 
 def occupancy_fraction(grid: OccupancyGrid) -> float:

@@ -67,9 +67,22 @@ class RenderConfig:
     #   use the fine head (gen_video/eval default); eval --coarse must not use
     #   this mode.
     accel_mode: str = "rays"
-    # "proposal" mode: stratified importance samples drawn from the grid-mask
+    # "proposal" mode: stratified importance samples drawn from the grid
     # pdf in place of the coarse pass (the fine union is this + n_fine_depth)
     accel_proposal_samples: int = 40
+    # fraction of the proposal pdf taken from the occupied-uniform mask (the
+    # rest is the grid-sigma compositing weight) — a coverage hedge against
+    # the dilated grid sigma over/under-shooting the field's true surface
+    accel_proposal_uniform: float = 0.15
+    # per-bin alpha ceiling in the grid-sigma pdf: the dilated grid's entry
+    # sits 1-2 voxels BEFORE the field's true surface, and an uncapped opaque
+    # voxel (alpha ~ 0.9) collapses the pdf's transmittance within ~3 bins of
+    # that early entry — under-sampling the real surface behind it (measured
+    # on the tests/test_accel.py sphere: 27.6 dB uncapped vs 47.2 dB at
+    # cap 0.25, 24+8 proposal samples).  Capping at a spreads
+    # the window over ~1/a bins while still suppressing occluded mass.
+    # <= 0 or >= 1 disables the cap.
+    accel_proposal_alpha_cap: float = 0.25
     # static compaction capacities as a fraction of the chunk; chunks with
     # more live elements fall back to the dense path (lax.cond), so results
     # are never wrong, only occasionally unpruned
@@ -112,6 +125,12 @@ class RenderConfig:
             sched=sched,
             accel_mode=conf.get_string("accel_mode", "rays"),
             accel_proposal_samples=conf.get_int("accel_proposal_samples", 40),
+            accel_proposal_uniform=conf.get_float(
+                "accel_proposal_uniform", 0.15
+            ),
+            accel_proposal_alpha_cap=conf.get_float(
+                "accel_proposal_alpha_cap", 0.25
+            ),
             accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
             accel_capacity_fine=(
@@ -435,26 +454,58 @@ def render_rays(
         ).reshape(SB, B, cfg.n_coarse)
 
     if proposal:
-        # grid-proposal coarse: no MLP — the occupancy mask at the stratified
-        # probe z's is the importance pdf, its weighted mean the depth
-        # estimate, and the "coarse" head reports the proposal (rgb =
-        # background) rather than a render
-        from .accel import occupancy_lookup
+        # grid-proposal coarse: no MLP — grid lookups at the stratified probe
+        # z's form the importance pdf, their weighted mean the depth estimate,
+        # and the "coarse" head reports the proposal (rgb = background)
+        # rather than a render.  With a sigma-carrying grid (accel.sig) the
+        # pdf is the full compositing weight alpha*T of the GRID density —
+        # samples concentrate at the (dilated) surface and occluded bins get
+        # ~zero mass — mixed with accel_proposal_uniform of the binary-mask
+        # pdf as a coverage hedge (the grid sigma is a blurred max, not the
+        # field).  Grids without sig keep the plain mask pdf.
+        from .accel import occupancy_lookup, sigma_lookup
 
-        wmask = occupancy_lookup(
-            accel, _sample_points(rays, z_coarse)
-        ).astype(jnp.float32)  # (SB, B, Kc)
-        wsum = jnp.sum(wmask, axis=-1)  # (SB, B)
+        pts_c = _sample_points(rays, z_coarse)
+        wmask = occupancy_lookup(accel, pts_c).astype(jnp.float32)  # (SB,B,Kc)
+        msum = jnp.sum(wmask, axis=-1)  # (SB, B)
+        if accel.sig is not None:
+            # gate by the liveness mask: sub-threshold sigma must contribute
+            # ZERO weight, or a ray the compaction branch prunes (and scatter-
+            # fills with depth 0.0) would read a nonzero depth on the dense
+            # fallback branch
+            sig = sigma_lookup(accel, pts_c) * wmask  # (SB, B, Kc)
+            deltas = jnp.concatenate(
+                [
+                    z_coarse[..., 1:] - z_coarse[..., :-1],
+                    rays[..., -1:] - z_coarse[..., -1:],
+                ],
+                axis=-1,
+            )
+            alpha = 1.0 - jnp.exp(-deltas * sig)
+            if 0.0 < cfg.accel_proposal_alpha_cap < 1.0:
+                alpha = jnp.minimum(alpha, cfg.accel_proposal_alpha_cap)
+            ashift = jnp.concatenate(
+                [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
+            )
+            w = alpha * jnp.cumprod(ashift, axis=-1)[..., :-1]
+            wsum = jnp.sum(w, axis=-1)
+            u = cfg.accel_proposal_uniform
+            weights_c = (1.0 - u) * w / jnp.maximum(wsum, 1e-9)[
+                ..., None
+            ] + u * wmask / jnp.maximum(msum, 1.0)[..., None]
+            depth_src, dsum = w, wsum
+        else:
+            weights_c = wmask / jnp.maximum(msum, 1.0)[..., None]
+            depth_src, dsum = wmask, msum
         # fully-empty rays report depth 0.0 — matching both a dense composite
         # of an empty ray (weights ~ 0 => depth ~ 0) and the scatter fill of
         # the ray-compacted branch, so the proposal depth estimate is
         # identical whichever lax.cond branch the chunk takes
         depth_c = jnp.where(
-            wsum > 0.0,
-            jnp.sum(wmask * z_coarse, axis=-1) / jnp.maximum(wsum, 1e-9),
+            dsum > 0.0,
+            jnp.sum(depth_src * z_coarse, axis=-1) / jnp.maximum(dsum, 1e-9),
             0.0,
         )
-        weights_c = wmask / jnp.maximum(wsum, 1.0)[..., None]
         bg = 1.0 if cfg.white_bkgd else 0.0
         rgb_c = jnp.full((SB, B, 3), bg, jnp.float32)
     else:

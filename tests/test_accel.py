@@ -416,6 +416,101 @@ def test_proposal_empty_ray_depth_branch_consistent():
     # contract, tested above)
 
 
+def test_proposal_sigma_pdf_tracks_surface():
+    """With a sigma-carrying grid (build_occupancy_grid stores the dilated
+    max-sigma field) the proposal pdf is the grid's compositing weight, not
+    the binary mask: the depth estimate lands at the sphere's FRONT surface
+    instead of the middle of the occupied span, and bins occluded behind the
+    surface keep only the accel_proposal_uniform mask share of the pdf."""
+    # rays aimed exactly at the origin from distance 1.4: the sphere
+    # (radius 0.4) spans t in [1.0, 1.8] on every ray
+    rng = np.random.default_rng(5)
+    theta = rng.uniform(0, 2 * np.pi, 256)
+    phi = rng.uniform(-0.5, 0.5, 256)
+    o = 1.4 * np.stack(
+        [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)],
+        axis=-1,
+    ).astype(np.float32)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((256, 1), 0.8, np.float32), np.full((256, 1), 2.0, np.float32)],
+        axis=-1,
+    )
+    grid = build_sphere_grid(rays, resolution=48, dilate=1)
+    assert grid.sig is not None
+
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="proposal", accel_proposal_samples=24,
+        accel_capacity_rays=1.0,  # dense-proposal branch: every ray hits
+    )
+    out_sig = _render(rays, cfg, accel=grid)
+    # binary-mask fallback: same occupancy, sig stripped
+    mask_grid = OccupancyGrid(
+        occ=grid.occ, lo=grid.lo, inv_cell=grid.inv_cell,
+        resolution=grid.resolution,
+    )
+    out_mask = _render(rays, cfg, accel=mask_grid)
+
+    # grid-sigma depth ~ dilated front surface (1.0 minus up to ~2 cells);
+    # the mask pdf averages over the whole occupied chord (~1.4)
+    d_sig = np.asarray(out_sig["coarse"]["depth"][0])
+    d_mask = np.asarray(out_mask["coarse"]["depth"][0])
+    assert 0.8 < np.median(d_sig) < 1.1, np.median(d_sig)
+    assert np.median(d_mask) > np.median(d_sig) + 0.2, (
+        np.median(d_mask), np.median(d_sig))
+
+    # occluded mass: proposal weights beyond the sphere center keep at most
+    # ~the uniform-mixture share (mask pdf: roughly half its mass)
+    z = np.linspace(0.8, 2.0, 33)[:-1]  # bin lower edges, matches z_steps
+    w_sig = np.asarray(out_sig["coarse"]["weights"][0])  # (B, 32) pdf
+    w_mask = np.asarray(out_mask["coarse"]["weights"][0])
+    behind = z > 1.45
+    m_sig = w_sig[:, behind].sum(axis=-1) / np.maximum(w_sig.sum(axis=-1), 1e-9)
+    m_mask = w_mask[:, behind].sum(axis=-1) / np.maximum(
+        w_mask.sum(axis=-1), 1e-9
+    )
+    assert np.median(m_sig) < 0.15, np.median(m_sig)
+    assert np.median(m_mask) > 0.3, np.median(m_mask)
+
+    # and the render still matches dense
+    dense = _render(rays, cfg, accel=None)
+    mse = float(np.mean((out_sig["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, psnr
+
+
+def test_proposal_subthreshold_sigma_keeps_empty_depth_zero():
+    """Sub-threshold grid sigma must contribute ZERO proposal weight: a ray
+    the compaction branch prunes (scatter fill depth 0.0) must read depth 0.0
+    on the dense fallback branch too, even when the stored sigma field is
+    positive below the build threshold (renderer.py gates the sigma pdf by
+    the liveness mask)."""
+    rays = camera_rays(512)
+    lo, hi = aabb_from_rays(rays)
+    n = 16 ** 3
+    grid = OccupancyGrid(
+        occ=jnp.zeros((n,), jnp.float32),
+        lo=jnp.asarray(lo),
+        inv_cell=16.0 / (jnp.asarray(hi) - jnp.asarray(lo)),
+        sig=jnp.full((n,), 5e-3, jnp.float32),  # positive but < thresh
+        thresh=jnp.asarray(1e-2, jnp.float32),
+        resolution=16,
+    )
+    base = dict(
+        n_coarse=16, n_fine=8, n_fine_depth=4, white_bkgd=False,
+        accel_mode="proposal", accel_proposal_samples=12,
+    )
+    compacted = _render(
+        rays, RenderConfig(**base, accel_capacity_rays=0.1), accel=grid
+    )
+    dense = _render(
+        rays, RenderConfig(**base, accel_capacity_rays=1.0), accel=grid
+    )
+    np.testing.assert_array_equal(compacted["coarse"]["depth"], 0.0)
+    np.testing.assert_array_equal(dense["coarse"]["depth"], 0.0)
+
+
 def test_mesh_sharded_accel_render_matches_single_device():
     """Occupancy pruning under a ray-sharded mesh: on real multi-chip
     hardware gen_video engages BOTH the grid accel and the ray mesh
