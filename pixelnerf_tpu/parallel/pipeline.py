@@ -323,7 +323,11 @@ class RenderPipeline:
         from ..render.accel import occupancy_fraction, occupancy_lookup
 
         cfg = self.renderer.cfg
+        # probe with the same z ladder the render will use (proposal mode may
+        # probe finer than n_coarse — renderer accel_probe_samples)
         kc = max(cfg.n_coarse, 1)
+        if cfg.accel_mode == "proposal" and cfg.accel_probe_samples:
+            kc = cfg.accel_probe_samples
         N = rays_np.shape[0]
         t = (np.arange(kc, dtype=np.float32) + 0.5) / kc
 

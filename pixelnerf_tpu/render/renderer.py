@@ -83,6 +83,11 @@ class RenderConfig:
     # the window over ~1/a bins while still suppressing occluded mass.
     # <= 0 or >= 1 disables the cap.
     accel_proposal_alpha_cap: float = 0.25
+    # number of stratified grid-probe z's per ray in proposal mode (liveness
+    # test + pdf support).  Probes are grid LOOKUPS, not MLP evals — ~free
+    # next to field evaluation — so a finer ladder than n_coarse sharpens the
+    # pdf and depth estimate at no MLP cost.  0 = use n_coarse.
+    accel_probe_samples: int = 0
     # static compaction capacities as a fraction of the chunk; chunks with
     # more live elements fall back to the dense path (lax.cond), so results
     # are never wrong, only occasionally unpruned
@@ -131,6 +136,7 @@ class RenderConfig:
             accel_proposal_alpha_cap=conf.get_float(
                 "accel_proposal_alpha_cap", 0.25
             ),
+            accel_probe_samples=conf.get_int("accel_probe_samples", 0),
             accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
             accel_capacity_fine=(
@@ -361,8 +367,15 @@ def _render_rays_ray_compacted(
     # (tests/test_accel.py asserts >= 40 dB agreement)
     rng_c = jax.random.split(rng, 5)[0]
     flat = rays[0]
+    # proposal mode may probe a finer z ladder than n_coarse (grid lookups
+    # are ~free); the "rays" parity path keeps the exact dense coarse draw
+    n_draw = (
+        (cfg.accel_probe_samples or cfg.n_coarse)
+        if proposal
+        else cfg.n_coarse
+    )
     z_full = ray_sampling.sample_coarse(
-        flat, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
+        flat, n_draw, rng_c, lindisp=cfg.lindisp
     )
     live = jnp.any(
         occupancy_lookup(accel, _sample_points(rays, z_full[None])), axis=-1
@@ -449,9 +462,14 @@ def render_rays(
     flat_rays = rays.reshape(SB * B, 8)
 
     if z_coarse is None:
+        n_draw = (
+            (cfg.accel_probe_samples or cfg.n_coarse)
+            if proposal
+            else cfg.n_coarse
+        )
         z_coarse = ray_sampling.sample_coarse(
-            flat_rays, cfg.n_coarse, rng_c, lindisp=cfg.lindisp
-        ).reshape(SB, B, cfg.n_coarse)
+            flat_rays, n_draw, rng_c, lindisp=cfg.lindisp
+        ).reshape(SB, B, n_draw)
 
     if proposal:
         # grid-proposal coarse: no MLP — grid lookups at the stratified probe
@@ -548,11 +566,12 @@ def render_rays(
             else cfg.n_fine - cfg.n_fine_depth
         )
         if n_importance > 0:
+            Kc = z_coarse.shape[-1]  # == n_coarse unless proposal probes
             z_fine = ray_sampling.sample_fine(
                 flat_rays,
-                weights_c.reshape(SB * B, cfg.n_coarse),
+                weights_c.reshape(SB * B, Kc),
                 n_importance,
-                cfg.n_coarse,
+                Kc,
                 rng_f,
                 lindisp=cfg.lindisp,
                 # proposal draws are stratified (low-discrepancy): a binary

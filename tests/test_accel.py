@@ -480,6 +480,33 @@ def test_proposal_sigma_pdf_tracks_surface():
     assert psnr > 30.0, psnr
 
 
+def test_proposal_probe_count_decoupled_from_n_coarse():
+    """accel_probe_samples probes a finer grid-lookup ladder than n_coarse in
+    proposal mode (probes are ~free next to MLP evals): the pdf/liveness use
+    the finer ladder, the fine union size is unchanged, and the render still
+    matches dense — through BOTH the compacted and the capacity>=B branch."""
+    rays = camera_rays(1024)
+    grid = build_sphere_grid(rays)
+    base = dict(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="proposal", accel_proposal_samples=24,
+        accel_probe_samples=96,
+    )
+    dense = _render(
+        rays, RenderConfig(**{**base, "accel_probe_samples": 0}), accel=None
+    )
+    for cap in (0.75, 1.0):  # compacted branch / short-circuit dense branch
+        out = _render(
+            rays, RenderConfig(**base, accel_capacity_rays=cap), accel=grid
+        )
+        # coarse head carries the proposal pdf over the 96-probe ladder
+        assert out["coarse"]["weights"].shape[-1] == 96
+        assert out["fine"]["weights"].shape[-1] == 32  # 24 + 8, unchanged
+        mse = float(np.mean((out["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        assert psnr > 30.0, (cap, psnr)
+
+
 def test_proposal_subthreshold_sigma_keeps_empty_depth_zero():
     """Sub-threshold grid sigma must contribute ZERO proposal weight: a ray
     the compaction branch prunes (scatter fill depth 0.0) must read depth 0.0
