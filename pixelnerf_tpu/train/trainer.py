@@ -299,7 +299,10 @@ def make_step_fns(
             )
             return loss_dict
 
-    return jax.jit(train_step), jax.jit(eval_step)
+    # donate the TrainState: params/opt-state buffers are updated in place
+    # (XLA input-output aliasing) instead of allocating a fresh ~3x-params
+    # set of arrays every step — callers always rebind `state` to the result
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
 _PREFETCH_END = object()
@@ -569,10 +572,17 @@ class Trainer:
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.accu_grad)
         self.optimizer = optimizer
 
+        # the jitted train step donates the TrainState (input-output buffer
+        # aliasing) — copy caller-provided variables so donation only ever
+        # recycles buffers this trainer owns (callers may reuse / share
+        # init_variables, e.g. to build a second Trainer)
+        params = jax.tree_util.tree_map(jnp.array, init_variables["params"])
         self.state = TrainState(
-            params=init_variables["params"],
-            batch_stats=init_variables.get("batch_stats", {}),
-            opt_state=self.optimizer.init(init_variables["params"]),
+            params=params,
+            batch_stats=jax.tree_util.tree_map(
+                jnp.array, init_variables.get("batch_stats", {})
+            ),
+            opt_state=self.optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
 
