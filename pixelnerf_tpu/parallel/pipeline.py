@@ -346,10 +346,16 @@ class RenderPipeline:
         if ray_batch_size is not None:
             eff_chunk = min(eff_chunk, ray_batch_size)
         win = min(max(eff_chunk, 256), N)
-        n_win = max(N // win, 1)
-        fr_windows = (
-            ray_live[: n_win * win].reshape(n_win, win).mean(axis=1)
+        n_win = -(-N // win)
+        # pad to a whole window by repeating the last ray's liveness — the
+        # same padding _dispatch applies (tiling part[-1:]) — so the tail
+        # chunk counts toward the worst-window estimate instead of being
+        # dropped (a live tail would otherwise undersize cap_r and push
+        # that chunk onto the dense fallback every render)
+        padded = np.concatenate(
+            [ray_live, np.full(n_win * win - N, ray_live[-1], bool)]
         )
+        fr_windows = padded.reshape(n_win, win).mean(axis=1)
         fr = float(fr_windows.max())
 
         def quantize(frac: float) -> float:

@@ -118,6 +118,17 @@ class RenderConfig:
             sched = None
         if sched is not None:
             sched = tuple(tuple(s) for s in sched)
+        accel_mode = conf.get_string("accel_mode", "rays")
+        if accel_mode not in ("rays", "proposal", "samples"):
+            # fail at parse time: an unknown string would otherwise fall
+            # through render_rays' mode dispatch into per-sample compaction
+            # ("samples" semantics) — use gen_video --no_accel / the
+            # PIXELNERF_ACCEL=0 env to disable pruning, not a conf value
+            raise ValueError(
+                f"renderer.accel_mode must be one of 'rays', 'proposal', "
+                f"'samples' (got {accel_mode!r}); disable pruning with "
+                f"--no_accel or PIXELNERF_ACCEL=0 instead"
+            )
         return cls(
             n_coarse=conf.get_int("n_coarse", 128),
             n_fine=conf.get_int("n_fine", 0),
@@ -128,7 +139,7 @@ class RenderConfig:
             lindisp=conf.get_bool("lindisp", lindisp),
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
-            accel_mode=conf.get_string("accel_mode", "rays"),
+            accel_mode=accel_mode,
             accel_proposal_samples=conf.get_int("accel_proposal_samples", 40),
             accel_proposal_uniform=conf.get_float(
                 "accel_proposal_uniform", 0.15

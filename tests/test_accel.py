@@ -659,3 +659,46 @@ def test_capacity_window_matches_effective_chunk():
     pipe.renderer = NeRFRenderer(cfg)
     pipe._autoselect_capacity(rays, ray_batch_size=512)
     assert pipe.accel is None
+
+
+def test_capacity_window_includes_tail_chunk():
+    """The worst-window scan must not drop the final partial window: a live
+    tail chunk would otherwise undersize accel_capacity_rays and push that
+    chunk onto the dense fallback on every render."""
+    from pixelnerf_tpu.parallel.pipeline import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+
+    cfg = RenderConfig(
+        n_coarse=8, n_fine=4, n_fine_depth=0, white_bkgd=True,
+        accel_mode="rays",
+    )
+    pipe = RenderPipeline.__new__(RenderPipeline)  # no model needed
+    pipe.device_chunk = 8192
+    R = 8
+    occ = np.zeros((R, R, R), np.float32)
+    occ[:, :, :4] = 1.0  # z < 0.5 occupied
+    grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    # 1200 rays marching +z over [0, 0.3]: only the LAST 176 (the partial
+    # 512-ray window) start inside the occupied half
+    N, win = 1200, 512
+    origins = np.zeros((N, 3), np.float32)
+    origins[:, 2] = 0.6  # empty space
+    origins[N - (N % win):, 2] = 0.1  # live tail
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    rays = np.concatenate(
+        [origins, dirs, np.zeros((N, 1), np.float32),
+         np.full((N, 1), 0.3, np.float32)], axis=1,
+    )
+
+    pipe.accel = grid
+    pipe.renderer = NeRFRenderer(cfg)
+    pipe._autoselect_capacity(rays, ray_batch_size=win)
+    # the tail window is fully live (its padding repeats the live last ray),
+    # so capacity >= 0.95 and pruning is disabled — NOT the 0.0625 floor the
+    # tail-dropping scan produced
+    assert pipe.accel is None

@@ -223,3 +223,13 @@ def test_empty_sched_is_none():
     conf = hocon.parse_string("renderer { n_coarse = 64\n sched = [] }")
     cfg = RenderConfig.from_conf(conf["renderer"])
     assert cfg.sched is None
+
+
+def test_unknown_accel_mode_rejected_at_parse_time():
+    """An unknown accel_mode would silently dispatch to per-sample compaction
+    ("samples" semantics) inside render_rays; from_conf must reject it."""
+    import pytest
+
+    conf = hocon.parse_string("renderer { n_coarse = 8\n accel_mode = off }")
+    with pytest.raises(ValueError, match="accel_mode"):
+        RenderConfig.from_conf(conf["renderer"])
