@@ -242,59 +242,113 @@ def _set_engine(args):
     scene.render.image_settings.color_depth = str(args.color_depth)
 
 
-def _add_output_node(scene, layer_output, prefix, to_gray=False):
+def _add_output_node(scene, layer_output, name, to_gray=False, exr=False):
+    """Create a NAMED file-output node; its path is re-pointed per view by
+    :func:`_render_single` (reference _update_node_filepath :391-397)."""
     tree = scene.node_tree
     node = tree.nodes.new("CompositorNodeOutputFile")
-    node.base_path = "/tmp"
-    node.file_slots[0].path = prefix
-    if to_gray:
+    node.name = name
+    if exr:
+        # raw metric depth like the reference (:434-441) — a normalized PNG
+        # would lose the scale consumers need
+        node.format.file_format = "OPEN_EXR"
+        node.format.color_depth = "32"
+    elif to_gray:
         node.format.color_mode = "BW"
     tree.links.new(layer_output, node.inputs[0])
     return node
 
 
-def _setup_compositing(scene, args):
-    """Object / background / alpha / depth output passes
-    (reference :399-463)."""
-    scene.use_nodes = True
-    scene.view_layers["ViewLayer"].use_pass_z = args.render_depth
+def _ensure_composite(scene):
+    """``write_still`` with ``use_nodes=True`` saves the COMPOSITOR result:
+    a Composite node fed by the render layers must exist (the reference
+    keeps Blender's default tree alive for this, :399-410).  The factory-
+    empty scene this script builds has no default nodes, so create them."""
     tree = scene.node_tree
-    for node in list(tree.nodes):
-        tree.nodes.remove(node)
-    rl = tree.nodes.new("CompositorNodeRLayers")
-    prefixes = ["object_"]
-    _add_output_node(scene, rl.outputs["Image"], "object_")
+    rl = next((n for n in tree.nodes if n.type == "R_LAYERS"), None)
+    if rl is None:
+        rl = tree.nodes.new("CompositorNodeRLayers")
+    comp = next((n for n in tree.nodes if n.type == "COMPOSITE"), None)
+    if comp is None:
+        comp = tree.nodes.new("CompositorNodeComposite")
+    tree.links.new(rl.outputs["Image"], comp.inputs["Image"])
+    return rl
+
+
+def _setup_compositing(scene, args):
+    """Background / alpha / depth output passes (reference :399-463).
+
+    The main ``view_###.png`` image is the compositor result saved by
+    ``write_still`` (film-transparent RGBA object render); the optional
+    passes go through named file-output nodes re-pointed per view.
+    Returns the list of pass names."""
+    scene.use_nodes = True
+    view_layer = scene.view_layers[0]
+    view_layer.use_pass_z = args.render_depth
+    rl = _ensure_composite(scene)
+    passes = []
     if args.render_bg:
-        prefixes.append("background_")
-        _add_output_node(scene, rl.outputs["Image"], "background_")
+        # separate view layer rendering only the environment pass
+        # (reference _add_background_layer :444-466)
+        bg_layer = scene.view_layers.new("Background Layer")
+        bg_layer.use_pass_combined = False
+        bg_layer.use_pass_z = False
+        bg_layer.use_pass_environment = True
+        bg_rl = scene.node_tree.nodes.new("CompositorNodeRLayers")
+        bg_rl.layer = bg_layer.name
+        _add_output_node(scene, bg_rl.outputs["Env"], "Background File Output")
+        passes.append("background")
     if args.render_alpha:
-        prefixes.append("alpha_")
-        _add_output_node(scene, rl.outputs["Alpha"], "alpha_", to_gray=True)
+        _add_output_node(
+            scene, rl.outputs["Alpha"], "Alpha File Output", to_gray=True
+        )
+        passes.append("alpha")
     if args.render_depth:
-        prefixes.append("depth_")
-        norm = tree.nodes.new("CompositorNodeNormalize")
-        tree.links.new(rl.outputs["Depth"], norm.inputs[0])
-        _add_output_node(scene, norm.outputs[0], "depth_", to_gray=True)
-    return prefixes
+        _add_output_node(
+            scene, rl.outputs["Depth"], "Depth File Output", exr=True
+        )
+        passes.append("depth")
+    return passes
 
 
-def _move_files(dirname, prefixes):
-    """File-output nodes write frame-numbered files to /tmp; move them next
-    to the view's transforms (reference :377-396)."""
-    moved = []
-    for prefix in prefixes:
-        for src in glob.glob(f"/tmp/{prefix}*"):
-            dst = osp.join(dirname, osp.basename(src))
-            os.replace(src, dst)
-            moved.append(dst)
-    return moved
+_PASS_NODE = {
+    "background": "Background File Output",
+    "alpha": "Alpha File Output",
+    "depth": "Depth File Output",
+}
 
 
-def _render_single(filepath, args, prefixes):
+def _render_single(filepath, args, passes):
+    """Render one view: re-point every pass node into the instance dir with
+    a per-view prefix, then render (reference _render_single :351-374).
+    Writing into the instance dir (not a shared /tmp) keeps --pool workers
+    from clobbering each other's pass files."""
     scene = bpy.context.scene
     scene.render.filepath = filepath
+    dirname, view = osp.dirname(filepath), osp.basename(filepath)
+    idx = view.split("_", 1)[1]  # "view_007" -> "007"
+    outputs = []
+    for p in passes:
+        node = scene.node_tree.nodes[_PASS_NODE[p]]
+        node.base_path = dirname
+        node.file_slots[0].path = f"{p}_{idx}_"
+        outputs.append((dirname, f"{p}_{idx}"))
     bpy.ops.render.render(write_still=True)
-    return prefixes
+    return outputs
+
+
+def _finalize_pass_files(outputs):
+    """Blender appends the frame number to file-output paths
+    (``alpha_007_0001.png``); strip it (reference _move_files :377-388)."""
+    for dirname, prefix in outputs:
+        matching = glob.glob(osp.join(dirname, prefix + "_*"))
+        if len(matching) != 1:
+            raise RuntimeError(
+                f"expected exactly one render output for {prefix}, got "
+                f"{matching} (stale files from an interrupted run?)"
+            )
+        ext = osp.splitext(matching[0])[1]
+        os.replace(matching[0], osp.join(dirname, prefix + ext))
 
 
 def setup_scene(args, model_dirs):
@@ -360,14 +414,14 @@ def render_views(args, model_dirs, rng):
             if args.render_alpha:
                 open(osp.join(out_dir, f"alpha_{i:03d}.png"), "wb").close()
             if args.render_depth:
-                open(osp.join(out_dir, f"depth_{i:03d}.png"), "wb").close()
+                # raw 32-bit depth pass (OPEN_EXR, like the reference :434)
+                open(osp.join(out_dir, f"depth_{i:03d}.exr"), "wb").close()
             if args.render_bg:
                 open(osp.join(out_dir, f"background_{i:03d}.png"), "wb").close()
             matrix = orbit_camera_matrix(angles[i], camera_loc, lookat)
         else:
             track_to.rotation_euler = angles[i]
-            files = _render_single(filepath, args, prefixes)
-            _move_files(out_dir, files)
+            _finalize_pass_files(_render_single(filepath, args, prefixes))
             bpy.context.view_layer.update()
             # camera matrix read AFTER render: the view layer updates lazily
             matrix = np.array(bpy.context.scene.camera.matrix_world)

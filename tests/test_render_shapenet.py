@@ -140,3 +140,37 @@ def test_dryrun_end_to_end(tmp_path, monkeypatch):
     assert rs.render_views(args, [models[0]], rng) is False
     args.overwrite = True
     assert rs.render_views(args, [models[0]], rng) is True
+
+
+def test_finalize_pass_files(tmp_path):
+    """Blender's file-output nodes append a frame number; finalize strips it
+    and errors on ambiguity instead of picking a stale file."""
+    d = str(tmp_path)
+    open(os.path.join(d, "alpha_007_0001.png"), "wb").close()
+    rs._finalize_pass_files([(d, "alpha_007")])
+    assert os.listdir(d) == ["alpha_007.png"]
+    # ambiguity (stale frame file from an interrupted run) must raise
+    open(os.path.join(d, "depth_000_0001.exr"), "wb").close()
+    open(os.path.join(d, "depth_000_0002.exr"), "wb").close()
+    with pytest.raises(RuntimeError, match="exactly one"):
+        rs._finalize_pass_files([(d, "depth_000")])
+
+
+def test_dryrun_depth_is_exr(tmp_path, monkeypatch):
+    """The depth pass is raw 32-bit OPEN_EXR (reference :434-441), and the
+    dry-run placeholder mirrors that extension."""
+    if rs.bpy is not None:
+        pytest.skip("running inside Blender")
+    src = _fake_models(tmp_path, n=5)
+    out = tmp_path / "out"
+    monkeypatch.setenv("RENDER_SHAPENET_DRYRUN", "1")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["render_shapenet.py", "--out_dir", str(out), "--src_model_dir", src,
+         "--split", "test", "--n_views", "2", "--render_depth"],
+    )
+    np.random.seed(0)
+    rs.main()
+    inst = next(d for d in os.listdir(out) if (out / d).is_dir())
+    depths = [f for f in os.listdir(out / inst) if f.startswith("depth_")]
+    assert depths and all(f.endswith(".exr") for f in depths)
