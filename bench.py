@@ -30,7 +30,6 @@ Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
 BENCH_ACCEL=0 (dense timing), BENCH_TRAIN_STEPS=0 (random-init model).
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -176,18 +175,42 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def main():
-    from pixelnerf_tpu.config.args import enable_compilation_cache
+class BenchScene:
+    """Everything the timing protocol needs, built once by :func:`setup_scene`
+    and shared by bench.py and the scripts/study_proposal.py sweeps (one
+    scaffold — the studies must measure through the SAME protocol the
+    published numbers use)."""
 
-    enable_compilation_cache()
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
 
+    def render_dense_reference(self):
+        """Dense render of the video rays + foreground-fraction sanity check.
+        Returns (rgb_dense (N, 3) numpy, fg_frac)."""
+        rgb_dense, _ = self.pipeline.render_simple(
+            self.variables, self.scene, self.rays, self.rng,
+            ray_batch_size=self.chunk,
+        )
+        rgb_dense = np.asarray(rgb_dense)
+        bg = 1.0 if self.white_bkgd else 0.0
+        fg_frac = float(np.mean(np.abs(rgb_dense - bg).max(axis=-1) > 0.08))
+        return rgb_dense, fg_frac
+
+
+def setup_scene():
+    """Build the bench scene: conf, net, synthetic sphere data, quick-trained
+    variables, encoded scene, pipeline, video-pass rays.
+
+    Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
+    BENCH_TRAIN_STEPS.
+    """
     import jax
     import jax.numpy as jnp
 
     from pixelnerf_tpu.config import hocon
     from pixelnerf_tpu.data import SyntheticDataset
     from pixelnerf_tpu.models import PixelNeRFNet, make_model
-    from pixelnerf_tpu.parallel import RenderPipeline, unpack_simple
+    from pixelnerf_tpu.parallel import RenderPipeline
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.utils import geometry
 
@@ -203,6 +226,7 @@ def main():
     mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)
     use_viewdirs = net.conf.get_bool("use_viewdirs", False)
+    white_bkgd = conf["renderer"].get_bool("white_bkgd", True)
 
     ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
     sample = ds[0]
@@ -224,7 +248,7 @@ def main():
         )
         variables = quick_train(
             train_net, variables, sample, focal, use_viewdirs, train_steps,
-            white_bkgd=conf["renderer"].get_bool("white_bkgd", True),
+            white_bkgd=white_bkgd,
         )
 
     scene = net.apply(
@@ -270,19 +294,81 @@ def main():
     # renders the whole pass in ONE dispatch (lax.map over chunks on device).
     chunk = int(os.environ.get("BENCH_RAY_CHUNK", 16384))
 
-    rng = jax.random.PRNGKey(1)
+    return BenchScene(
+        conf=conf,
+        net=net,
+        sample=sample,
+        focal=focal,
+        variables=variables,
+        scene=scene,
+        renderer=renderer,
+        pipeline=pipeline,
+        rays=rays,
+        chunk=chunk,
+        rng=jax.random.PRNGKey(1),
+        n_chips=n_chips,
+        train_steps=train_steps,
+        use_viewdirs=use_viewdirs,
+        white_bkgd=white_bkgd,
+    )
 
-    use_accel = os.environ.get("BENCH_ACCEL", "1") != "0" and train_steps > 0
-    if use_accel:
-        # dense pass first (also the compile warmup for the fallback branch)
-        rgb_dense, _ = pipeline.render_simple(
-            variables, scene, rays, rng, ray_batch_size=chunk
+
+def timed_round(s: BenchScene, n_passes: int = 3) -> float:
+    """gen_video's consumer loop: enqueue every pass (async dispatch), then
+    fetch the packed (rgb, depth) frames — fetch of pass i overlaps device
+    compute of pass i+1, exactly how a video writer drains frames."""
+    import jax
+
+    from pixelnerf_tpu.parallel import unpack_simple
+
+    t0 = time.perf_counter()
+    pending = [
+        s.pipeline.render_simple(
+            s.variables, s.scene, s.rays, jax.random.fold_in(s.rng, i),
+            ray_batch_size=s.chunk, as_numpy=False,
         )
-        rgb_dense = np.asarray(rgb_dense)
+        for i in range(n_passes)
+    ]
+    outs = [unpack_simple(p) for p in pending]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(rgb).all() for rgb, _ in outs)
+    return n_passes * s.rays.shape[0] / dt
+
+
+def measure_steady(s: BenchScene, max_rounds: int = 6, tol: float = 0.04):
+    """Timed rounds until the rate is steady (last two within ``tol``);
+    returns (median rate, all round rates).  Callers must have rendered at
+    least once already (compile warmup)."""
+    timed_round(s)  # steady-state warmup (second-dispatch caches, allocator)
+    rates = [timed_round(s)]
+    for _ in range(max_rounds - 1):
+        rates.append(timed_round(s))
+        if abs(rates[-1] - rates[-2]) / max(rates[-1], rates[-2]) < tol:
+            break
+    return float(np.median(rates)), rates
+
+
+def psnr_vs(rgb, rgb_ref) -> float:
+    mse = float(np.mean((np.asarray(rgb) - np.asarray(rgb_ref)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
+
+
+def main():
+    from pixelnerf_tpu.config.args import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    s = setup_scene()
+    pipeline, variables, scene, rays, chunk, rng = (
+        s.pipeline, s.variables, s.scene, s.rays, s.chunk, s.rng,
+    )
+
+    use_accel = os.environ.get("BENCH_ACCEL", "1") != "0" and s.train_steps > 0
+    if use_accel:
+        # dense pass first (also the compile warmup for the fallback branch);
         # scene sanity: the trained model must actually render an object —
         # an (all-background) render would make any pruning "win" vacuous
-        bg = 1.0 if conf["renderer"].get_bool("white_bkgd", True) else 0.0
-        fg_frac = float(np.mean(np.abs(rgb_dense - bg).max(axis=-1) > 0.08))
+        rgb_dense, fg_frac = s.render_dense_reference()
         log(f"bench: dense-render foreground fraction {fg_frac:.3f}")
         if fg_frac < 0.03:
             log("bench: scene sanity failed (empty render); accel disabled")
@@ -302,8 +388,7 @@ def main():
             rgb_pruned, _ = pipeline.render_simple(
                 variables, scene, rays, rng, ray_batch_size=chunk
             )
-            mse = float(np.mean((np.asarray(rgb_pruned) - rgb_dense) ** 2))
-            psnr = -10.0 * np.log10(max(mse, 1e-12))
+            psnr = psnr_vs(rgb_pruned, rgb_dense)
             log(f"bench: {mode}-vs-dense PSNR {psnr:.1f} dB")
             if psnr >= 30.0:
                 break
@@ -318,31 +403,9 @@ def main():
     # warmup / compile
     pipeline.render_simple(variables, scene, rays, rng, ray_batch_size=chunk)
 
-    # gen_video's consumer loop: enqueue every pass (async dispatch), then
-    # fetch the packed (rgb, depth) frames — fetch of pass i overlaps device
-    # compute of pass i+1, exactly how a video writer drains frames
-    def timed_round(n_passes: int = 3) -> float:
-        t0 = time.perf_counter()
-        pending = [
-            pipeline.render_simple(
-                variables, scene, rays, jax.random.fold_in(rng, i),
-                ray_batch_size=chunk, as_numpy=False,
-            )
-            for i in range(n_passes)
-        ]
-        outs = [unpack_simple(p) for p in pending]
-        dt = time.perf_counter() - t0
-        assert all(np.isfinite(rgb).all() for rgb, _ in outs)
-        return n_passes * rays.shape[0] / dt
-
-    timed_round()  # steady-state warmup (second-dispatch caches, allocator)
-    rates = [timed_round()]
-    for _ in range(5):
-        rates.append(timed_round())
-        if abs(rates[-1] - rates[-2]) / max(rates[-1], rates[-2]) < 0.04:
-            break
+    rate, rates = measure_steady(s)
     log("bench: round rates " + ", ".join(f"{r:,.0f}" for r in rates))
-    rays_per_sec = float(np.median(rates)) / n_chips
+    rays_per_sec = rate / s.n_chips
 
     print(
         json.dumps(
