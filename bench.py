@@ -291,8 +291,13 @@ def setup_scene():
         -1, 8
     )
     # -R semantics: upper bound on the device-side ray chunk; the pipeline
-    # renders the whole pass in ONE dispatch (lax.map over chunks on device).
-    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 16384))
+    # renders the whole pass in ONE dispatch (lax.map over chunks on device)
+    # and, under pruning, auto-sizes the chunk within this bound from the
+    # live-point budget (pipeline._autoselect_capacity) — 65536 lets the
+    # proposal path take the measured-fastest whole-pass chunk
+    # (scripts/study_chunk.py: 328k rays/s vs 252k at 8192); the dense path
+    # keeps the conservative device_chunk.
+    chunk = int(os.environ.get("BENCH_RAY_CHUNK", 65536))
 
     return BenchScene(
         conf=conf,

@@ -43,7 +43,44 @@ def unpack_simple(pieces):
     return packed[:, :3], packed[:, 3]
 
 
+def _live_point_evals(cfg, chunk: int, cap_r: float, cap_c: float,
+                      cap_f: Optional[float]) -> float:
+    """Estimated live field-MLP point evals per device chunk under pruning.
+
+    Per-ray eval counts follow render_rays' mode dispatch (renderer.py):
+    "proposal" (with a fine pass) replaces the coarse MLP by grid lookups, so
+    only the accel_proposal_samples + n_fine_depth union is evaluated, on the
+    cap_r-compacted ray buffer; "rays" (and proposal without a fine pass,
+    which falls back to rays semantics) evaluates the full dense ladder on
+    compacted rays; "samples" compacts per sample at cap_c/cap_f.
+    """
+    union = cfg.n_coarse + cfg.n_fine + cfg.n_fine_depth
+    if cfg.accel_mode == "samples":
+        per = cfg.n_coarse * cap_c
+        if cfg.using_fine:
+            per += union * (cap_f if cap_f is not None else cap_c)
+        return chunk * per
+    if cfg.accel_mode == "proposal" and cfg.using_fine:
+        per = cfg.accel_proposal_samples + cfg.n_fine_depth
+    else:
+        per = cfg.n_coarse + (union if cfg.using_fine else 0)
+    return chunk * cap_r * per
+
+
 class RenderPipeline:
+    # Live-point budget for auto-sizing the device ray chunk under pruning
+    # (class attributes so capacity tests constructing via ``__new__``
+    # inherit them).  Measured on a v5e (scripts/study_chunk.py): proposal
+    # throughput climbs with the chunk — 252k rays/s at 8192 vs 328k at
+    # 65536 (fewer lax.map steps amortize the per-chunk compaction
+    # gather/scatter and sampling sort) — while the dense path is flat at
+    # 16384/32768 (compute-bound) and its compile time triples by 32768.
+    # The budget caps live activations: proposal at cap 0.5625 x 56
+    # evals/ray stays ~2.1M points even at 65536; dense 32768 would be 5.8M.
+    point_budget: int = 3_000_000
+    accel_chunk_max: int = 65536
+    accel_chunk: Optional[int] = None  # set by _autoselect_capacity
+
     def __init__(
         self,
         net: PixelNeRFNet,
@@ -66,6 +103,7 @@ class RenderPipeline:
         self.max_rays_per_dispatch = max_rays_per_dispatch
         self.compute_dtype = compute_dtype
         self.accel = None  # per-scene OccupancyGrid (see build_accel)
+        self.accel_chunk = None
         self._use_viewdirs = None
         self._jitted: Dict[Any, Any] = {}
 
@@ -201,7 +239,13 @@ class RenderPipeline:
         """Launch device programs over the ray batch; yield (device_out, true_n)."""
         cfg = self.renderer.cfg
         NR = rays.shape[0]
-        chunk = min(self.device_chunk, ray_batch_size, NR)
+        # under active pruning, _autoselect_capacity may have chosen a larger
+        # device chunk (fewer lax.map steps; the point budget bounds live
+        # work) — dense renders keep the conservative device_chunk
+        dc = self.device_chunk
+        if self.accel is not None and self.accel_chunk:
+            dc = max(dc, self.accel_chunk)
+        chunk = min(dc, ray_batch_size, NR)
         chunk = max(-(-chunk // self.n_devices) * self.n_devices, self.n_devices)
 
         variables = self._maybe_cast(variables) if self.compute_dtype else variables
@@ -258,6 +302,7 @@ class RenderPipeline:
 
         if os.environ.get("PIXELNERF_ACCEL", "1") == "0":
             self.accel = None
+            self.accel_chunk = None
             return None
         rays_np = np.asarray(rays, np.float32).reshape(-1, 8)
         lo, hi = aabb_from_rays(rays_np)
@@ -342,37 +387,62 @@ class RenderPipeline:
             ray_live[s : s + 65536] = live.any(axis=-1)
             samp_live_sum += float(live.sum())
         fc = samp_live_sum / (N * kc)
-        eff_chunk = self.device_chunk
-        if ray_batch_size is not None:
-            eff_chunk = min(eff_chunk, ray_batch_size)
-        win = min(max(eff_chunk, 256), N)
-        n_win = -(-N // win)
-        # pad to a whole window by repeating the last ray's liveness — the
-        # same padding _dispatch applies (tiling part[-1:]) — so the tail
-        # chunk counts toward the worst-window estimate instead of being
-        # dropped (a live tail would otherwise undersize cap_r and push
-        # that chunk onto the dense fallback every render)
-        padded = np.concatenate(
-            [ray_live, np.full(n_win * win - N, ray_live[-1], bool)]
-        )
-        fr_windows = padded.reshape(n_win, win).mean(axis=1)
-        fr = float(fr_windows.max())
+
+        def worst_window(win: int) -> float:
+            # worst live fraction over consecutive win-sized ray windows;
+            # pad to a whole window by repeating the last ray's liveness —
+            # the same padding _dispatch applies (tiling part[-1:]) — so the
+            # tail chunk counts toward the estimate instead of being dropped
+            # (a live tail would otherwise undersize cap_r and push that
+            # chunk onto the dense fallback every render)
+            win = min(max(win, 256), N)
+            n_win = -(-N // win)
+            padded = np.concatenate(
+                [ray_live, np.full(n_win * win - N, ray_live[-1], bool)]
+            )
+            return float(padded.reshape(n_win, win).mean(axis=1).max())
 
         def quantize(frac: float) -> float:
             q = np.ceil(min(frac * margin, 1.0) * 16) / 16
             return float(np.clip(q, 0.0625, 1.0))
 
-        cap_r = quantize(fr)
         cap_c = quantize(fc)
         cap_f = None
         if cfg.using_fine:
             k_union = kc + cfg.n_fine
             cap_f = quantize((kc * fc + cfg.n_fine) / k_union)
+
+        # auto-size the device ray chunk: larger chunks amortize the
+        # per-chunk compaction gather/scatter and sampling sort (measured,
+        # scripts/study_chunk.py — see point_budget above), bounded by the
+        # live-point budget so activations stay VMEM/HBM-friendly.  Larger
+        # windows also mix object and background regions, so cap_r usually
+        # SHRINKS as the chunk grows — evaluated per candidate.
+        eff_chunk = self.device_chunk
+        if ray_batch_size is not None:
+            eff_chunk = min(eff_chunk, ray_batch_size)
+        candidates = []
+        c = self.accel_chunk_max
+        while c > eff_chunk:
+            if ray_batch_size is None or c <= ray_batch_size:
+                candidates.append(c)
+            c //= 2
+        candidates.append(eff_chunk)
+        for chunk in candidates:
+            cap_r = quantize(worst_window(chunk))
+            if (
+                chunk == eff_chunk
+                or _live_point_evals(cfg, chunk, cap_r, cap_c, cap_f)
+                <= self.point_budget
+            ):
+                break
+        self.accel_chunk = chunk if chunk > self.device_chunk else None
+        fr = worst_window(chunk)
         print(
             f"accel: occupancy {occupancy_fraction(self.accel):.3f}, "
             f"ray live max/mean {fr:.3f}/{ray_live.mean():.3f} -> "
             f"ray capacity {cap_r}; sample live {fc:.3f} -> "
-            f"capacities {cap_c}/{cap_f}",
+            f"capacities {cap_c}/{cap_f}; chunk {chunk}",
             file=sys.stderr,
         )
         key_cap = cap_r if cfg.accel_mode in ("rays", "proposal") else cap_c
@@ -383,6 +453,7 @@ class RenderPipeline:
                 file=sys.stderr,
             )
             self.accel = None
+            self.accel_chunk = None
             return
         self.renderer.base_cfg = dataclasses.replace(
             self.renderer.base_cfg,

@@ -702,3 +702,63 @@ def test_capacity_window_includes_tail_chunk():
     # so capacity >= 0.95 and pruning is disabled — NOT the 0.0625 floor the
     # tail-dropping scan produced
     assert pipe.accel is None
+
+
+def test_autoselect_chunk_from_point_budget():
+    """Under pruning, _autoselect_capacity grows the device ray chunk within
+    the live-point budget (proposal mode's cheap evals/ray afford the
+    measured-fastest large chunk, scripts/study_chunk.py); costlier modes are
+    bounded by the budget, and a small -R hint caps the candidates."""
+    from pixelnerf_tpu.parallel.pipeline import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+
+    R = 8
+    occ = np.zeros((R, R, R), np.float32)
+    occ[:, :, :4] = 1.0  # z < 0.5 occupied
+    grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    # 65536 rays marching +z over [0, 0.3], ~30% live, interleaved so every
+    # window sees the same live fraction
+    N = 65536
+    origins = np.zeros((N, 3), np.float32)
+    origins[:, 2] = np.where(np.arange(N) % 10 < 3, 0.1, 0.6)
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    rays = np.concatenate(
+        [origins, dirs, np.zeros((N, 1), np.float32),
+         np.full((N, 1), 0.3, np.float32)], axis=1,
+    )
+
+    def make(mode):
+        cfg = RenderConfig(
+            n_coarse=8, n_fine=4, n_fine_depth=2, white_bkgd=True,
+            accel_mode=mode, accel_proposal_samples=5,
+        )
+        pipe = RenderPipeline.__new__(RenderPipeline)  # no model needed
+        pipe.device_chunk = 8192
+        pipe.accel = grid
+        pipe.accel_chunk = None
+        pipe.renderer = NeRFRenderer(cfg)
+        return pipe
+
+    # proposal: 7 evals/live-ray x cap 0.375 fits the default budget even at
+    # the max chunk
+    pipe = make("proposal")
+    pipe._autoselect_capacity(rays)
+    assert pipe.accel is not None
+    assert pipe.accel_chunk == RenderPipeline.accel_chunk_max
+
+    # rays mode at a tight budget: 22 evals/ray x 0.375 x 65536 = 540k and
+    # 32768 -> 270k both exceed 200k; 16384 -> 135k fits
+    pipe = make("rays")
+    pipe.point_budget = 200_000
+    pipe._autoselect_capacity(rays)
+    assert pipe.accel_chunk == 16384
+
+    # a -R hint below device_chunk caps the candidates entirely
+    pipe = make("proposal")
+    pipe._autoselect_capacity(rays, ray_batch_size=4096)
+    assert pipe.accel_chunk is None
