@@ -54,7 +54,11 @@ def _live_point_evals(cfg, chunk: int, cap_r: float, cap_c: float,
     which falls back to rays semantics) evaluates the full dense ladder on
     compacted rays; "samples" compacts per sample at cap_c/cap_f.
     """
-    union = cfg.n_coarse + cfg.n_fine + cfg.n_fine_depth
+    # the dense fine union re-evaluates the coarse z's plus n_fine draws
+    # (n_fine INCLUDES the depth-centered draws: n_importance = n_fine -
+    # n_fine_depth, renderer.py); proposal's union replaces all of that with
+    # accel_proposal_samples grid draws + n_fine_depth depth draws
+    union = cfg.n_coarse + cfg.n_fine
     if cfg.accel_mode == "samples":
         per = cfg.n_coarse * cap_c
         if cfg.using_fine:

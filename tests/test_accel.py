@@ -751,8 +751,9 @@ def test_autoselect_chunk_from_point_budget():
     assert pipe.accel is not None
     assert pipe.accel_chunk == RenderPipeline.accel_chunk_max
 
-    # rays mode at a tight budget: 22 evals/ray x 0.375 x 65536 = 540k and
-    # 32768 -> 270k both exceed 200k; 16384 -> 135k fits
+    # rays mode at a tight budget: 20 evals/ray (8 coarse + the 12-sample
+    # union) x 0.375 x 65536 = 492k and 32768 -> 246k both exceed 200k;
+    # 16384 -> 123k fits
     pipe = make("rays")
     pipe.point_budget = 200_000
     pipe._autoselect_capacity(rays)
