@@ -65,7 +65,12 @@ def _live_point_evals(cfg, chunk: int, cap_r: float, cap_c: float,
             per += union * (cap_f if cap_f is not None else cap_c)
         return chunk * per
     if cfg.accel_mode == "proposal" and cfg.using_fine:
-        per = cfg.accel_proposal_samples + cfg.n_fine_depth
+        n_depth = (
+            cfg.accel_depth_samples
+            if cfg.accel_depth_samples is not None
+            else cfg.n_fine_depth
+        )
+        per = cfg.accel_proposal_samples + n_depth
     else:
         per = cfg.n_coarse + (union if cfg.using_fine else 0)
     return chunk * cap_r * per
@@ -79,8 +84,8 @@ class RenderPipeline:
     # 65536 (fewer lax.map steps amortize the per-chunk compaction
     # gather/scatter and sampling sort) — while the dense path is flat at
     # 16384/32768 (compute-bound) and its compile time triples by 32768.
-    # The budget caps live activations: proposal at cap 0.5625 x 56
-    # evals/ray stays ~2.1M points even at 65536; dense 32768 would be 5.8M.
+    # The budget caps live activations: proposal at cap 0.5625 x 32
+    # evals/ray stays ~1.2M points even at 65536; dense 32768 would be 5.8M.
     point_budget: int = 3_000_000
     accel_chunk_max: int = 65536
     accel_chunk: Optional[int] = None  # set by _autoselect_capacity

@@ -58,18 +58,24 @@ class RenderConfig:
     #   the measured 25-40 ms/Mpt gather+scatter overhead; docs/PERFORMANCE.md).
     #   "proposal": ray compaction PLUS the coarse MLP pass is replaced by
     #   occupancy-grid lookups as the importance-sampling proposal — the fine
-    #   union becomes accel_proposal_samples grid-guided draws + n_fine_depth
-    #   depth draws (the n_coarse probe z's are never MLP-evaluated), cutting
-    #   field evals ~2.9x vs dense at the 64/32/16 default (dense: 64 coarse
-    #   + a 96-sample fine union = 160 evals/ray; proposal: 40 + 16 = 56).
+    #   union becomes accel_proposal_samples grid-guided draws +
+    #   accel_depth_samples depth draws (the n_coarse probe z's are never
+    #   MLP-evaluated), cutting field evals 5x vs dense at the 64/32/16
+    #   default (dense: 64 coarse + a 96-sample fine union = 160 evals/ray;
+    #   proposal: 24 + 8 = 32).
     #   The "coarse" head then holds the proposal
     #   (rgb = background, depth/weights from the grid mask), not a render —
     #   use the fine head (gen_video/eval default); eval --coarse must not use
     #   this mode.
     accel_mode: str = "rays"
     # "proposal" mode: stratified importance samples drawn from the grid
-    # pdf in place of the coarse pass (the fine union is this + n_fine_depth)
-    accel_proposal_samples: int = 40
+    # pdf in place of the coarse pass (the fine union is this +
+    # accel_depth_samples depth draws).  Operating point from the bench-scene
+    # sweep (scripts/study_proposal.py): PSNR-vs-dense tracks this count
+    # alone (40 -> 38.2 dB, 32 -> 36.2, 24 -> 33.7, 16 -> 31.0) and 24+8
+    # measured 424k rays/s vs 303k at the old 40+16 — same protocol, same
+    # scene.
+    accel_proposal_samples: int = 24
     # fraction of the proposal pdf taken from the occupied-uniform mask (the
     # rest is the grid-sigma compositing weight) — a coverage hedge against
     # the dilated grid sigma over/under-shooting the field's true surface
@@ -88,6 +94,15 @@ class RenderConfig:
     # next to field evaluation — so a finer ladder than n_coarse sharpens the
     # pdf and depth estimate at no MLP cost.  0 = use n_coarse.
     accel_probe_samples: int = 0
+    # depth-centered draws in proposal mode ONLY (None = follow n_fine_depth;
+    # conf value < 0 maps to None).  The sigma-pdf proposal already
+    # concentrates draws at the surface, making the gaussian-around-depth
+    # draws largely redundant there (measured on the bench scene: 16 -> 8 ->
+    # 0 depth draws at fixed proposal count costs 0.0 dB vs dense;
+    # scripts/study_proposal.py) — 8 keeps a depth-refinement channel for
+    # real scenes at half the reference's 16.  The DENSE path keeps the
+    # reference's n_fine_depth untouched.
+    accel_depth_samples: Optional[int] = 8
     # static compaction capacities as a fraction of the chunk; chunks with
     # more live elements fall back to the dense path (lax.cond), so results
     # are never wrong, only occasionally unpruned
@@ -140,7 +155,7 @@ class RenderConfig:
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
             accel_mode=accel_mode,
-            accel_proposal_samples=conf.get_int("accel_proposal_samples", 40),
+            accel_proposal_samples=conf.get_int("accel_proposal_samples", 24),
             accel_proposal_uniform=conf.get_float(
                 "accel_proposal_uniform", 0.15
             ),
@@ -148,6 +163,11 @@ class RenderConfig:
                 "accel_proposal_alpha_cap", 0.25
             ),
             accel_probe_samples=conf.get_int("accel_probe_samples", 0),
+            accel_depth_samples=(
+                None
+                if conf.get_int("accel_depth_samples", 8) < 0
+                else conf.get_int("accel_depth_samples", 8)
+            ),
             accel_capacity_rays=conf.get_float("accel_capacity_rays", 0.5),
             accel_capacity=conf.get_float("accel_capacity", 0.5),
             accel_capacity_fine=(
@@ -568,13 +588,19 @@ def render_rays(
     if cfg.using_fine:
         # proposal mode: the fine union drops the n_coarse probe z's (never
         # MLP-evaluated) and instead draws accel_proposal_samples from the
-        # grid-mask pdf — total union accel_proposal_samples + n_fine_depth
-        # instead of n_coarse + n_fine
+        # grid-mask pdf — total union accel_proposal_samples + depth draws
+        # (accel_depth_samples, default n_fine_depth) instead of
+        # n_coarse + n_fine
         all_samps = [] if proposal else [z_coarse]
         n_importance = (
             cfg.accel_proposal_samples
             if proposal
             else cfg.n_fine - cfg.n_fine_depth
+        )
+        n_depth = (
+            cfg.accel_depth_samples
+            if proposal and cfg.accel_depth_samples is not None
+            else cfg.n_fine_depth
         )
         if n_importance > 0:
             Kc = z_coarse.shape[-1]  # == n_coarse unless proposal probes
@@ -592,14 +618,14 @@ def render_rays(
                 stratified=proposal,
             ).reshape(SB, B, -1)
             all_samps.append(z_fine)
-        if cfg.n_fine_depth > 0:
+        if n_depth > 0:
             z_depth = ray_sampling.sample_fine_depth(
                 flat_rays,
                 jax.lax.stop_gradient(depth_c).reshape(SB * B),
-                cfg.n_fine_depth,
+                n_depth,
                 cfg.depth_std,
                 rng_fd,
-            ).reshape(SB, B, cfg.n_fine_depth)
+            ).reshape(SB, B, n_depth)
             all_samps.append(z_depth)
         z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
 

@@ -83,8 +83,7 @@ def main():
             accel_mode="proposal",
             accel_probe_samples=probe,
             accel_proposal_samples=nprop,
-            n_fine_depth=nfd,
-            n_fine=base_cfg.n_fine - base_cfg.n_fine_depth + nfd,
+            accel_depth_samples=nfd,
             accel_proposal_uniform=max(uni, 0.0),
         )
         # capacities re-sized for the new probe ladder

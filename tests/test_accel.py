@@ -338,6 +338,45 @@ def test_proposal_render_matches_dense():
     assert np.median(d_err) < 0.05, np.median(d_err)
 
 
+def test_proposal_depth_samples_override():
+    """accel_depth_samples shrinks the proposal union's depth draws WITHOUT
+    touching the dense path's n_fine_depth (measured redundant there:
+    scripts/study_proposal.py, 16 -> 8 draws at 0.0 dB cost).  The union
+    width must follow the override and the render must stay >= 30 dB vs
+    dense; a dense render under the same cfg keeps the full n_fine union."""
+    rays = camera_rays(1024)
+    grid = build_sphere_grid(rays)
+    cfg = RenderConfig(
+        n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
+        accel_mode="proposal", accel_proposal_samples=24,
+        accel_depth_samples=4, accel_capacity_rays=0.75,
+    )
+    dense = _render(rays, cfg, accel=None)
+    prop = _render(rays, cfg, accel=grid)
+
+    # proposal union = 24 proposal + 4 override depth draws
+    assert prop["fine"]["weights"].shape[-1] == 28
+    # dense path ignores the override: coarse 32 + n_fine 16 union
+    assert dense["fine"]["weights"].shape[-1] == 48
+
+    mse = float(np.mean((prop["fine"]["rgb"] - dense["fine"]["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, psnr
+
+    # conf surface: explicit value parsed, negative -> None (follow
+    # n_fine_depth), absent -> the production default (8)
+    from pixelnerf_tpu.config import hocon
+
+    c = hocon.parse_string(
+        "n_coarse = 8\naccel_mode = proposal\naccel_depth_samples = 4\n"
+    )
+    assert RenderConfig.from_conf(c).accel_depth_samples == 4
+    c2 = hocon.parse_string("n_coarse = 8\naccel_depth_samples = -1\n")
+    assert RenderConfig.from_conf(c2).accel_depth_samples is None
+    c3 = hocon.parse_string("n_coarse = 8\n")
+    assert RenderConfig.from_conf(c3).accel_depth_samples == 8
+
+
 def test_proposal_capacity_overflow_uses_proposal_dense():
     """Over-capacity chunks in proposal mode fall back to a DENSE-RAY render
     that still uses proposal sampling (consistent cond branches; finite)."""
@@ -351,8 +390,8 @@ def test_proposal_capacity_overflow_uses_proposal_dense():
     )
     cfg = RenderConfig(
         n_coarse=16, n_fine=8, n_fine_depth=4, accel_mode="proposal",
-        accel_proposal_samples=12, accel_capacity_rays=0.25,
-        white_bkgd=True,
+        accel_proposal_samples=12, accel_depth_samples=4,
+        accel_capacity_rays=0.25, white_bkgd=True,
     )
     out = _render(rays, cfg, accel=grid)
     assert out["fine"]["weights"].shape[-1] == 16  # 12 proposal + 4 depth
