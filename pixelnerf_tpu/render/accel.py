@@ -199,6 +199,37 @@ def sigma_lookup(grid: OccupancyGrid, points: Array) -> Array:
     return jnp.where(inside, sig, grid.thresh)
 
 
+def probe_lookup(
+    grid: OccupancyGrid, points: Array
+) -> Tuple[Array, Optional[Array]]:
+    """Fused occupancy + sigma probe: ONE grid gather per point.
+
+    ``occ`` was built as ``dilated_sig > thresh`` (build_occupancy_grid), so
+    for sigma-carrying grids the mask is derivable from the sigma gather —
+    random-access HBM gathers dominate the proposal path's non-MLP time
+    (three per probe point before this: outer liveness occupancy_lookup +
+    inner occupancy_lookup + sigma_lookup at the SAME z's), and this plus
+    probe-result forwarding (renderer._render_rays_ray_compacted) collapses
+    them to one.
+
+    :return: (mask (...) bool, sig (...) float32 | None) — identical to
+        ``(occupancy_lookup(grid, points), sigma_lookup(grid, points))``;
+        sig is None for mask-only grids (grid.sig is None).
+    """
+    R = grid.resolution
+    rel = (points - grid.lo) * grid.inv_cell
+    idx = jnp.floor(rel).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < R), axis=-1)
+    idx = jnp.clip(idx, 0, R - 1)
+    flat = (idx[..., 0] * R + idx[..., 1]) * R + idx[..., 2]
+    if grid.sig is None:
+        occ = jnp.take(grid.occ, flat.reshape(-1), axis=0).reshape(flat.shape)
+        return jnp.where(inside, occ > 0.5, True), None
+    sig = jnp.take(grid.sig, flat.reshape(-1), axis=0).reshape(flat.shape)
+    mask = jnp.where(inside, sig > grid.thresh, True)
+    return mask, jnp.where(inside, sig, grid.thresh)
+
+
 def occupancy_fraction(grid: OccupancyGrid) -> float:
     """Host-side diagnostic: fraction of occupied voxels."""
     return float(jnp.mean(grid.occ))

@@ -90,10 +90,15 @@ class RenderConfig:
     # <= 0 or >= 1 disables the cap.
     accel_proposal_alpha_cap: float = 0.25
     # number of stratified grid-probe z's per ray in proposal mode (liveness
-    # test + pdf support).  Probes are grid LOOKUPS, not MLP evals — ~free
-    # next to field evaluation — so a finer ladder than n_coarse sharpens the
-    # pdf and depth estimate at no MLP cost.  0 = use n_coarse.
-    accel_probe_samples: int = 0
+    # test + pdf support); 0 = use n_coarse.  Probes are grid LOOKUPS, not
+    # MLP evals, but random-access HBM gathers are the proposal path's
+    # dominant non-MLP cost — swept at the 24+8 union (study_proposal.py):
+    # 32 probes measured 545k rays/s at 35.0 dB vs 64's 405k at 33.7 and
+    # 128's ~260k (quality UP with the coarser ladder: larger probe deltas
+    # keep the capped-alpha pdf from collapsing into the dilated grid's
+    # early-entry voxels).  Liveness stays conservative as long as the probe
+    # step is below the dilated surface thickness (>= 3 grid cells).
+    accel_probe_samples: int = 32
     # depth-centered draws in proposal mode ONLY (None = follow n_fine_depth;
     # conf value < 0 maps to None).  The sigma-pdf proposal already
     # concentrates draws at the surface, making the gaussian-around-depth
@@ -162,7 +167,7 @@ class RenderConfig:
             accel_proposal_alpha_cap=conf.get_float(
                 "accel_proposal_alpha_cap", 0.25
             ),
-            accel_probe_samples=conf.get_int("accel_probe_samples", 0),
+            accel_probe_samples=conf.get_int("accel_probe_samples", 32),
             accel_depth_samples=(
                 None
                 if conf.get_int("accel_depth_samples", 8) < 0
@@ -375,7 +380,7 @@ def _render_rays_ray_compacted(
     see :func:`render_rays`); both cond branches use the same proposal
     sampling and the same empty-ray depth convention (0.0).
     """
-    from .accel import occupancy_lookup
+    from .accel import probe_lookup
 
     _, B, _ = rays.shape
     capacity = min(max(_round_up(int(cfg.accel_capacity_rays * B), 256), 256), B)
@@ -408,9 +413,13 @@ def _render_rays_ray_compacted(
     z_full = ray_sampling.sample_coarse(
         flat, n_draw, rng_c, lindisp=cfg.lindisp
     )
-    live = jnp.any(
-        occupancy_lookup(accel, _sample_points(rays, z_full[None])), axis=-1
-    )[0]
+    # ONE fused grid gather serves the liveness test AND (compacted /
+    # forwarded per-ray) the inner proposal pdf — random-access HBM gathers
+    # are the proposal path's dominant non-MLP cost
+    mask_full, sig_full = probe_lookup(
+        accel, _sample_points(rays, z_full[None])
+    )
+    live = jnp.any(mask_full, axis=-1)[0]
     n_live = jnp.sum(live.astype(jnp.int32))
 
     bg = 1.0 if cfg.white_bkgd else 0.0
@@ -422,17 +431,24 @@ def _render_rays_ray_compacted(
             want_weights=want_weights, use_viewdirs=use_viewdirs,
             accel=inner_accel, proposal=proposal,
             z_coarse=z_full[None],
+            probe_mask=mask_full if proposal else None,
+            probe_sig=sig_full if proposal else None,
         )
 
     def compacted(_):
         idx = jnp.nonzero(live, size=capacity, fill_value=B)[0]
         crays = jnp.take(flat, idx, axis=0, mode="clip")[None]
         cz = jnp.take(z_full, idx, axis=0, mode="clip")[None]
+        cmask = csig = None
+        if proposal:
+            cmask = jnp.take(mask_full[0], idx, axis=0, mode="clip")[None]
+            if sig_full is not None:
+                csig = jnp.take(sig_full[0], idx, axis=0, mode="clip")[None]
         out = render_rays(
             model_fn, crays, rng, cfg,
             want_weights=want_weights, use_viewdirs=use_viewdirs,
             accel=inner_accel, proposal=proposal,
-            z_coarse=cz,
+            z_coarse=cz, probe_mask=cmask, probe_sig=csig,
         )
 
         def scatter(head):
@@ -466,6 +482,8 @@ def render_rays(
     z_coarse: Optional[Array] = None,  # (SB, B, Kc) precomputed coarse draw
     noise_scale: Optional[Array] = None,  # dynamic sigma-noise multiplier
     proposal: bool = False,  # internal: grid-proposal coarse (accel_mode="proposal")
+    probe_mask: Optional[Array] = None,  # (SB, B, Kc) forwarded probe mask
+    probe_sig: Optional[Array] = None,  # (SB, B, Kc) forwarded probe sigma
 ) -> Dict[str, Any]:
     """Full coarse+fine render (reference nerf.py:251-303).
 
@@ -512,17 +530,22 @@ def render_rays(
         # ~zero mass — mixed with accel_proposal_uniform of the binary-mask
         # pdf as a coverage hedge (the grid sigma is a blurred max, not the
         # field).  Grids without sig keep the plain mask pdf.
-        from .accel import occupancy_lookup, sigma_lookup
+        from .accel import probe_lookup
 
-        pts_c = _sample_points(rays, z_coarse)
-        wmask = occupancy_lookup(accel, pts_c).astype(jnp.float32)  # (SB,B,Kc)
+        if probe_mask is None:
+            # one fused gather (mask + sigma); the ray-compacted caller
+            # forwards its probe results instead, skipping the gather here
+            probe_mask, probe_sig = probe_lookup(
+                accel, _sample_points(rays, z_coarse)
+            )
+        wmask = probe_mask.astype(jnp.float32)  # (SB, B, Kc)
         msum = jnp.sum(wmask, axis=-1)  # (SB, B)
-        if accel.sig is not None:
+        if probe_sig is not None:
             # gate by the liveness mask: sub-threshold sigma must contribute
             # ZERO weight, or a ray the compaction branch prunes (and scatter-
             # fills with depth 0.0) would read a nonzero depth on the dense
             # fallback branch
-            sig = sigma_lookup(accel, pts_c) * wmask  # (SB, B, Kc)
+            sig = probe_sig * wmask  # (SB, B, Kc)
             deltas = jnp.concatenate(
                 [
                     z_coarse[..., 1:] - z_coarse[..., :-1],
