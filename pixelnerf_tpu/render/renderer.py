@@ -71,11 +71,12 @@ class RenderConfig:
     # "proposal" mode: stratified importance samples drawn from the grid
     # pdf in place of the coarse pass (the fine union is this +
     # accel_depth_samples depth draws).  Operating point from the bench-scene
-    # sweep (scripts/study_proposal.py): PSNR-vs-dense tracks this count
-    # alone (40 -> 38.2 dB, 32 -> 36.2, 24 -> 33.7, 16 -> 31.0) and 24+8
-    # measured 424k rays/s vs 303k at the old 40+16 — same protocol, same
-    # scene.
-    accel_proposal_samples: int = 24
+    # sweeps (scripts/study_proposal.py): at alpha cap 0.25 PSNR-vs-dense
+    # tracks this count alone (40 -> 38.2 dB, 32 -> 36.2, 24 -> 33.7,
+    # 16 -> 31.0); sharpening the pdf to cap 0.15 buys the same quality at
+    # 16 draws (33.6 dB, 717k rays/s vs 653k at 24/cap-0.25 — same protocol,
+    # same scene).
+    accel_proposal_samples: int = 16
     # fraction of the proposal pdf taken from the occupied-uniform mask (the
     # rest is the grid-sigma compositing weight) — a coverage hedge against
     # the dilated grid sigma over/under-shooting the field's true surface
@@ -87,8 +88,9 @@ class RenderConfig:
     # on the tests/test_accel.py sphere: 27.6 dB uncapped vs 47.2 dB at
     # cap 0.25, 24+8 proposal samples).  Capping at a spreads
     # the window over ~1/a bins while still suppressing occluded mass.
-    # <= 0 or >= 1 disables the cap.
-    accel_proposal_alpha_cap: float = 0.25
+    # 0.15 measured equal quality to cap-0.25 with 2/3 the proposal draws
+    # (study_proposal.py pdf-shape sweep).  <= 0 or >= 1 disables the cap.
+    accel_proposal_alpha_cap: float = 0.15
     # number of stratified grid-probe z's per ray in proposal mode (liveness
     # test + pdf support); 0 = use n_coarse.  Probes are grid LOOKUPS, not
     # MLP evals, but random-access HBM gathers are the proposal path's
@@ -160,12 +162,12 @@ class RenderConfig:
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=sched,
             accel_mode=accel_mode,
-            accel_proposal_samples=conf.get_int("accel_proposal_samples", 24),
+            accel_proposal_samples=conf.get_int("accel_proposal_samples", 16),
             accel_proposal_uniform=conf.get_float(
                 "accel_proposal_uniform", 0.15
             ),
             accel_proposal_alpha_cap=conf.get_float(
-                "accel_proposal_alpha_cap", 0.25
+                "accel_proposal_alpha_cap", 0.15
             ),
             accel_probe_samples=conf.get_int("accel_probe_samples", 32),
             accel_depth_samples=(

@@ -61,6 +61,7 @@ def main():
 
     grid = DEFAULT_GRID
     if os.environ.get("STUDY_GRID"):
+        # probe,prop,nfd,uniform[,alpha_cap] — cap defaults to the config's
         grid = [
             tuple(float(v) for v in p.split(","))
             for p in os.environ["STUDY_GRID"].split(";")
@@ -75,7 +76,9 @@ def main():
     mask_accel = dataclasses.replace(sig_accel, sig=None, thresh=None)
 
     results = []
-    for probe, nprop, nfd, uni in grid:
+    for row_vals in grid:
+        probe, nprop, nfd, uni = row_vals[:4]
+        cap = float(row_vals[4]) if len(row_vals) > 4 else None
         probe, nprop, nfd = int(probe), int(nprop), int(nfd)
         s.pipeline.accel = mask_accel if uni < 0 else sig_accel
         s.renderer.base_cfg = dataclasses.replace(
@@ -85,6 +88,11 @@ def main():
             accel_proposal_samples=nprop,
             accel_depth_samples=nfd,
             accel_proposal_uniform=max(uni, 0.0),
+            **(
+                {}
+                if cap is None
+                else {"accel_proposal_alpha_cap": cap}
+            ),
         )
         # capacities re-sized for the new probe ladder
         s.pipeline._autoselect_capacity(s.rays, ray_batch_size=s.chunk)
@@ -101,6 +109,7 @@ def main():
         row = {
             "probe": probe, "proposal_samples": nprop, "n_fine_depth": nfd,
             "pdf": "mask" if uni < 0 else f"sigma u={uni:g}",
+            "alpha_cap": cap if cap is not None else base_cfg.accel_proposal_alpha_cap,
             "evals_per_ray": nprop + nfd, "psnr_vs_dense": round(psnr, 1),
             "rays_per_sec": round(rate, 0), "compile_s": round(compile_s, 1),
         }

@@ -481,6 +481,11 @@ def test_proposal_sigma_pdf_tracks_surface():
     cfg = RenderConfig(
         n_coarse=32, n_fine=16, n_fine_depth=8, white_bkgd=True,
         accel_mode="proposal", accel_proposal_samples=24,
+        # pin the pdf shape the bounds below were calibrated for (the
+        # production default cap is sharper, which legitimately spreads the
+        # depth estimate ~0.07 deeper — this test is about sigma-pdf vs
+        # mask-pdf TRACKING, not the default operating point)
+        accel_proposal_alpha_cap=0.25,
         accel_capacity_rays=1.0,  # dense-proposal branch: every ray hits
     )
     out_sig = _render(rays, cfg, accel=grid)
