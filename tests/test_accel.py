@@ -104,6 +104,41 @@ def test_build_grid_matches_analytic_sphere():
     assert not occ_out.any()
 
 
+def test_probe_lookup_matches_separate_lookups():
+    """The fused single-gather probe (accel.probe_lookup) must be bit-equal
+    to the separate occupancy_lookup + sigma_lookup pair on sigma-carrying
+    grids (occ == dilated_sig > thresh by construction), and to
+    occupancy_lookup alone on mask-only grids — including OUTSIDE-box points
+    (conservatively occupied, sigma = thresh)."""
+    from pixelnerf_tpu.render.accel import probe_lookup, sigma_lookup
+
+    rays = camera_rays(64)
+    grid = build_sphere_grid(rays, resolution=32, dilate=1)
+    assert grid.sig is not None
+
+    rng = np.random.default_rng(9)
+    # span well past the AABB so both in- and out-of-box points are tested
+    pts = jnp.asarray(rng.uniform(-3.0, 3.0, (1, 512, 3)).astype(np.float32))
+
+    mask, sig = probe_lookup(grid, pts)
+    np.testing.assert_array_equal(
+        np.asarray(mask), np.asarray(occupancy_lookup(grid, pts))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sig), np.asarray(sigma_lookup(grid, pts))
+    )
+
+    mask_grid = OccupancyGrid(
+        occ=grid.occ, lo=grid.lo, inv_cell=grid.inv_cell,
+        resolution=grid.resolution,
+    )
+    m2, s2 = probe_lookup(mask_grid, pts)
+    assert s2 is None
+    np.testing.assert_array_equal(
+        np.asarray(m2), np.asarray(occupancy_lookup(mask_grid, pts))
+    )
+
+
 def test_lookup_outside_box_is_conservative():
     grid = OccupancyGrid(
         occ=jnp.zeros((8,), jnp.float32),
