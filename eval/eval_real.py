@@ -187,7 +187,8 @@ def main():
         print("Rendering", args.num_views * H * W, "rays")
         rng, step = jax.random.split(rng)
         rgb_fine, _ = pipeline.render_simple(
-            variables, scene, render_rays_all, step, ray_batch_size=80000
+            variables, scene, render_rays_all, step, ray_batch_size=80000,
+            pack="u8",  # frames are quantized by the writer anyway
         )
         frames = (
             np.clip(np.asarray(rgb_fine).reshape(args.num_views, H, W, 3), 0, 1)

@@ -227,6 +227,7 @@ def main():
         render_rays_all,
         jax.random.PRNGKey(1),
         ray_batch_size=args.ray_batch_size,
+        pack="u8",  # frames are quantized by the writer anyway; 5 B/ray D2H
     )
     frames = np.clip(np.asarray(rgb_fine).reshape(-1, H, W, 3), 0.0, 1.0)
 

@@ -36,10 +36,21 @@ Array = jnp.ndarray
 
 
 def unpack_simple(pieces):
-    """Fetch packed render_simple pieces -> (rgb (NR, 3), depth (NR,)) numpy."""
+    """Fetch packed render_simple pieces -> (rgb (NR, 3), depth (NR,)) float32.
+
+    Handles both wire formats: (NR, 4) f32 [rgb|depth] and the (NR, 5) uint8
+    video-frame format [rgb u8 | depth f16 as 2 u8 lanes]."""
     packed = np.concatenate(
         [np.asarray(out)[:true_n] for out, true_n in pieces], axis=0
     )
+    if packed.dtype == np.uint8:
+        rgb = packed[:, :3].astype(np.float32) / 255.0
+        depth = (
+            np.ascontiguousarray(packed[:, 3:5])
+            .view(np.float16)[:, 0]
+            .astype(np.float32)
+        )
+        return rgb, depth
     return packed[:, :3], packed[:, 3]
 
 
@@ -173,7 +184,7 @@ class RenderPipeline:
         want_weights: bool,
         n_chunks: int,
         chunk: int,
-        packed: bool = False,
+        packed=False,  # False | "f32" | "u8" (video-frame wire format)
     ):
         import dataclasses
 
@@ -204,14 +215,29 @@ class RenderPipeline:
                     accel=accel,
                 )
                 if packed:
-                    # single (chunk, 4) [rgb, depth] leaf: ONE host fetch per
-                    # dispatch instead of four (the reference's simple_output
-                    # contract, nerf.py:32-39) — the tunnel D2H fixed cost
-                    # (~40 ms/fetch) otherwise dominates video generation
+                    # single packed leaf: ONE host fetch per dispatch instead
+                    # of four (the reference's simple_output contract,
+                    # nerf.py:32-39) — the tunnel D2H fixed cost (~40 ms/fetch)
+                    # otherwise dominates video generation
                     branch = out["fine"] if cfg.using_fine else out["coarse"]
-                    out = jnp.concatenate(
-                        [branch["rgb"], branch["depth"][..., None]], axis=-1
-                    )
+                    if packed == "u8":
+                        # video-frame wire format: rgb quantized to uint8 (the
+                        # video writer quantizes identically, so the written
+                        # frames are bit-equal) + depth as f16 bitcast into 2
+                        # uint8 lanes -> (chunk, 5) u8, 16 -> 5 bytes/ray over
+                        # the D2H link (measured fetch-bound; PERFORMANCE.md)
+                        rgb_u8 = jnp.round(
+                            jnp.clip(branch["rgb"], 0.0, 1.0) * 255.0
+                        ).astype(jnp.uint8)
+                        d_u8 = jax.lax.bitcast_convert_type(
+                            branch["depth"].astype(jnp.float16), jnp.uint8
+                        )
+                        out = jnp.concatenate([rgb_u8, d_u8], axis=-1)
+                    else:
+                        out = jnp.concatenate(
+                            [branch["rgb"], branch["depth"][..., None]],
+                            axis=-1,
+                        )
                 return out
 
             if n_chunks == 1:
@@ -243,7 +269,7 @@ class RenderPipeline:
         rng: Array,
         ray_batch_size: int,
         want_weights: bool,
-        packed: bool,
+        packed,  # False | "f32" | "u8"
     ):
         """Launch device programs over the ray batch; yield (device_out, true_n)."""
         cfg = self.renderer.cfg
@@ -274,6 +300,9 @@ class RenderPipeline:
             n_chunks = -(-part.shape[0] // chunk)
             pad = n_chunks * chunk - part.shape[0]
             if pad > 0:
+                # callers may pass device-committed rays (upload once, reuse
+                # across passes); padding works on host numpy either way
+                part = np.asarray(part)
                 part = np.concatenate(
                     [part, np.tile(part[-1:], (pad, 1))], axis=0
                 )
@@ -515,19 +544,28 @@ class RenderPipeline:
         rng,
         ray_batch_size: int = 50000,
         as_numpy: bool = True,
+        pack: str = "f32",
     ):
         """(rgb, depth) from the fine pass if present, else coarse — the
         reference's simple_output contract (nerf.py:32-39).
 
         The device program is pruned to this output (XLA drops the unused
-        coarse compositing) and the transfer is ONE packed (NR, 4) array.
+        coarse compositing) and the transfer is ONE packed array per dispatch:
+        ``pack="f32"`` (default) sends full-precision (NR, 4) f32;
+        ``pack="u8"`` sends video-frame wire format — uint8 rgb (bit-equal to
+        what the video writer quantizes to) + f16 depth, 5 bytes/ray instead
+        of 16 (the remote-TPU D2H link is the video loop's bottleneck,
+        docs/PERFORMANCE.md) — use it when the output feeds a video/frame
+        writer (gen_video, eval_real), NOT for quality metrics.  Either
+        way :func:`unpack_simple` returns float32 (rgb in [0, 1]).
         With ``as_numpy=False`` the packed device arrays are returned un-fetched
         (list of (array, true_n)) — callers overlapping fetch with the next
         dispatch unpack via :func:`unpack_simple`.
         """
+        assert pack in ("u8", "f32"), pack
         pieces = list(
             self._dispatch(
-                variables, scene, rays, rng, ray_batch_size, False, True
+                variables, scene, rays, rng, ray_batch_size, False, pack
             )
         )
         if not as_numpy:

@@ -194,6 +194,52 @@ def test_render_pipeline_multidevice_matches_single():
     assert out1["coarse"]["rgb"].shape == (rays.shape[0], 3)
 
 
+def test_render_simple_u8_wire_format_matches_f32():
+    """pack="u8" (video-frame wire format: uint8 rgb + f16 depth, 5 B/ray
+    over the D2H link) must agree with the f32 pack to quantization
+    tolerance, accept device-committed ray arrays (upload-once callers), and
+    produce frames bit-equal to quantizing the f32 render."""
+    conf = hocon.parse_string(TINY_CONF)
+    net = make_model(conf["model"])
+    ds = SyntheticDataset(n_objs=1, n_views=2, image_size=24)
+    sample = ds[0]
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample["images"][None, :1]),
+        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(np.float32(sample["focal"])),
+        jnp.zeros((1, 4, 3), jnp.float32),
+        jnp.zeros((1, 4, 3), jnp.float32),
+    )
+    scene = net.apply(
+        variables,
+        jnp.asarray(sample["images"][None, :1]),
+        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(np.float32(sample["focal"])),
+        method=PixelNeRFNet.encode,
+    )
+    rays = geometry.gen_rays_np(
+        sample["poses"][1:2], 24, 24, float(sample["focal"]), 0.8, 1.8
+    ).reshape(-1, 8)
+
+    pipeline = RenderPipeline(net, NeRFRenderer.from_conf(conf["renderer"]))
+    rng = jax.random.PRNGKey(5)
+    rgb_f, d_f = pipeline.render_simple(
+        variables, scene, rays, rng, ray_batch_size=200, pack="f32"
+    )
+    # device-committed rays exercise the upload-once path (pad == 0 slice)
+    rays_dev = jax.device_put(jnp.asarray(rays[: (rays.shape[0] // 200) * 200]))
+    rgb_u, d_u = pipeline.render_simple(
+        variables, scene, rays_dev, rng, ray_batch_size=200, pack="u8"
+    )
+    n = rays_dev.shape[0]
+    assert np.abs(rgb_u - rgb_f[:n]).max() <= 0.5 / 255 + 1e-6
+    assert np.abs(d_u - d_f[:n]).max() <= 2e-3 * max(float(d_f.max()), 1.0)
+    # the frames a video writer would emit are identical
+    q = lambda x: np.round(np.clip(x, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(q(rgb_u), q(rgb_f[:n]))
+
+
 def test_trainer_mesh_sharded_step(tmp_path):
     """Trainer with a ("data","rays") mesh runs sharded steps that match the
     single-device trainer numerically."""
