@@ -239,6 +239,17 @@ def test_render_simple_u8_wire_format_matches_f32():
     q = lambda x: np.round(np.clip(x, 0, 1) * 255).astype(np.uint8)
     np.testing.assert_array_equal(q(rgb_u), q(rgb_f[:n]))
 
+    # u8 wire + ray-mesh sharding compose (gen_video --gpu_id path): same
+    # chunking -> same draws -> bit-equal frames
+    multi = RenderPipeline(
+        net, NeRFRenderer.from_conf(conf["renderer"]), mesh=make_ray_mesh(8)
+    )
+    rgb_m, d_m = multi.render_simple(
+        variables, scene, rays[:n], rng, ray_batch_size=200, pack="u8"
+    )
+    np.testing.assert_array_equal(q(rgb_m), q(rgb_u))
+    np.testing.assert_allclose(d_m, d_u, atol=2e-3)
+
 
 def test_trainer_mesh_sharded_step(tmp_path):
     """Trainer with a ("data","rays") mesh runs sharded steps that match the
