@@ -73,15 +73,16 @@ def extra_args(parser):
     parser.add_argument(
         "--accel_mode",
         type=str,
-        default=None,
-        choices=["rays", "proposal", "samples"],
-        help="Occupancy-pruning strategy: 'rays' skips whole verified-empty "
-        "rays (identical coarse z draw; kept rays' fine importance draws "
-        "are stochastically re-drawn, >= 40 dB vs dense), 'proposal' "
-        "additionally replaces the coarse MLP pass with grid-guided "
-        "importance sampling (fastest; small stochastic deviation from the "
-        "dense render), 'samples' compacts individual samples.  Default: "
-        "the renderer conf's accel_mode ('rays' if unset)",
+        default="auto",
+        choices=["auto", "rays", "proposal", "samples"],
+        help="Occupancy-pruning strategy: 'auto' (default) tries 'proposal' "
+        "and SELF-GATES it — frame 0 is rendered both dense and pruned, and "
+        "if they agree below 30 dB PSNR the video steps down to 'rays' "
+        "(conservative, >= 40 dB by construction); 'rays' skips whole "
+        "verified-empty rays (identical coarse z draw; kept rays' fine "
+        "importance draws are stochastically re-drawn), 'proposal' forces "
+        "grid-guided importance sampling in place of the coarse MLP pass "
+        "(fastest; ungated), 'samples' compacts individual samples",
     )
     return parser
 
@@ -213,12 +214,41 @@ def main():
     # skip it: the grid build is itself a large field-probe pass that only
     # pays off at accelerator rates.
     if not args.no_accel and jax.default_backend() != "cpu":
-        if args.accel_mode is not None:  # else: conf-driven accel_mode governs
-            pipeline.set_accel_mode(args.accel_mode)
+        auto = args.accel_mode == "auto"
+        pipeline.set_accel_mode("proposal" if auto else args.accel_mode)
         pipeline.build_accel(
             variables, scene, render_rays_all,
             ray_batch_size=args.ray_batch_size,
         )
+        if auto and pipeline.accel is not None:
+            # self-gate (bench.py's logic, per video): render frame 0 both
+            # dense and pruned with the same key — if the grid misrepresents
+            # the field (< 30 dB), step down to conservative ray compaction.
+            # Costs two extra frame renders (programs land in the persistent
+            # compilation cache, so reruns only pay the render).
+            frame0 = render_rays_all[: H * W]
+            rng0 = jax.random.PRNGKey(7)
+            grid = pipeline.accel
+            pipeline.accel = None
+            rgb_d, _ = pipeline.render_simple(
+                variables, scene, frame0, rng0,
+                ray_batch_size=args.ray_batch_size,
+            )
+            pipeline.accel = grid
+            rgb_p, _ = pipeline.render_simple(
+                variables, scene, frame0, rng0,
+                ray_batch_size=args.ray_batch_size,
+            )
+            mse = float(np.mean((rgb_p - rgb_d) ** 2))
+            psnr = -10.0 * np.log10(max(mse, 1e-12))
+            if psnr >= 30.0:
+                print(f"accel auto: proposal passes self-gate ({psnr:.1f} dB)")
+            else:
+                pipeline.set_accel_mode("rays")
+                print(
+                    f"accel auto: proposal failed self-gate ({psnr:.1f} dB); "
+                    "using ray compaction"
+                )
 
     print("Rendering", args.num_views * H * W, "rays")
     rgb_fine, _depth = pipeline.render_simple(
