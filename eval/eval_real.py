@@ -56,13 +56,14 @@ def extra_args(parser):
     parser.add_argument(
         "--accel_mode",
         type=str,
-        default=None,
-        choices=["off", "rays", "proposal", "samples"],
+        default="auto",
+        choices=["auto", "off", "rays", "proposal", "samples"],
         help="Per-image occupancy-grid pruning for the 360-degree render "
-        "(render/accel.py); 'proposal' is fastest (grid-guided sampling in "
-        "place of the coarse MLP pass), 'off' composites every sample like "
-        "the reference.  Default: the renderer conf's accel_mode ('rays' "
-        "if unset)",
+        "(render/accel.py); 'auto' (default) tries 'proposal' and self-gates "
+        "it against a dense render of frame 0 (>= 30 dB or step down to "
+        "'rays'), 'proposal' forces grid-guided sampling in place of the "
+        "coarse MLP pass (fastest; ungated), 'off' composites every sample "
+        "like the reference",
     )
     parser.add_argument(
         "--mlp_impl",
@@ -179,11 +180,36 @@ def main():
             method=PixelNeRFNet.encode,
         )
         if args.accel_mode != "off" and jax.default_backend() != "cpu":
-            if args.accel_mode is not None:  # else: conf accel_mode governs
-                pipeline.set_accel_mode(args.accel_mode)
+            auto = args.accel_mode == "auto"
+            pipeline.set_accel_mode("proposal" if auto else args.accel_mode)
             pipeline.build_accel(
                 variables, scene, render_rays_all, ray_batch_size=80000
             )
+            if auto and pipeline.accel is not None:
+                # frame-0 self-gate (same logic as gen_video / bench.py)
+                frame0 = render_rays_all[: H * W]
+                rng, gate_rng = jax.random.split(rng)
+                grid = pipeline.accel
+                pipeline.accel = None
+                rgb_d, _ = pipeline.render_simple(
+                    variables, scene, frame0, gate_rng, ray_batch_size=80000
+                )
+                pipeline.accel = grid
+                rgb_p, _ = pipeline.render_simple(
+                    variables, scene, frame0, gate_rng, ray_batch_size=80000
+                )
+                mse = float(np.mean((rgb_p - rgb_d) ** 2))
+                psnr = -10.0 * np.log10(max(mse, 1e-12))
+                if psnr < 30.0:
+                    pipeline.set_accel_mode("rays")
+                    print(
+                        f"accel auto: proposal failed self-gate "
+                        f"({psnr:.1f} dB); using ray compaction"
+                    )
+                else:
+                    print(
+                        f"accel auto: proposal passes self-gate ({psnr:.1f} dB)"
+                    )
         print("Rendering", args.num_views * H * W, "rays")
         rng, step = jax.random.split(rng)
         rgb_fine, _ = pipeline.render_simple(
