@@ -142,10 +142,15 @@ def make_step_fns(
     use_viewdirs: bool,
     amp: bool = True,
     remat: bool = True,
+    alpha_crit=None,
 ):
     """Build jitted (train_step, eval_step).  ``amp=True`` keeps TPU-default
     bf16 matmuls (the AMP equivalent); False forces fp32 everywhere.
-    ``remat`` checkpoints the field evaluation (recompute-in-backward)."""
+    ``remat`` checkpoints the field evaluation (recompute-in-backward).
+    ``alpha_crit`` optionally adds the Neural-Volumes alpha prior
+    (models.losses.AlphaLossNV2, reference loss.py:4-37) on the fine head's
+    pixel alpha; its epoch gate is evaluated at BUILD time (the Trainer
+    rebuilds the step when the gate flips — one extra compile)."""
     # training/eval batches are small (ray_batch_size rays); inner point
     # chunking (sized for huge eval renders) would only serialize the MXU
     render_cfg = dataclasses.replace(render_cfg, eval_batch_size=0)
@@ -243,12 +248,17 @@ def make_step_fns(
         else:
             field = _field_impl
 
+        alpha_active = (
+            alpha_crit is not None
+            and alpha_crit.lambda_alpha > 0.0
+            and alpha_crit.epoch >= alpha_crit.init_epoch
+        )
         out = render_rays(
             field,
             batch["rays"],
             rng_render,
             render_cfg,
-            want_weights=False,
+            want_weights=alpha_active,
             training=training,
             use_viewdirs=use_viewdirs,
             noise_scale=noise_scale,
@@ -261,6 +271,12 @@ def make_step_fns(
             loss_f = rgb_fine_crit(out["fine"]["rgb"], rgb_gt)
             loss = loss + loss_f * lambda_fine
             loss_dict["rf"] = loss_f * lambda_fine
+        if alpha_active:
+            head = out["fine"] if "fine" in out else out["coarse"]
+            pix_alpha = jnp.sum(head["weights"], axis=-1)
+            loss_a = alpha_crit(pix_alpha)
+            loss = loss + loss_a
+            loss_dict["la"] = loss_a
         loss_dict["t"] = loss
         return loss, (new_batch_stats, loss_dict)
 
@@ -602,6 +618,17 @@ class Trainer:
 
             crit_c = crit_f = l2_loss
 
+        # Neural-Volumes alpha prior (reference loss.py:4-37; conf
+        # loss.alpha, lambda_alpha = 0 in every shipped conf = off).  The
+        # epoch gate flips the jitted step (one rebuild at init_epoch).
+        self.alpha_crit = None
+        if loss_conf is not None and "alpha" in loss_conf:
+            from ..models.losses import get_alpha_loss
+
+            crit_a = get_alpha_loss(loss_conf["alpha"])
+            if crit_a.lambda_alpha > 0.0:
+                self.alpha_crit = crit_a
+
         self.mesh = mesh
         self.use_viewdirs = net.conf.get_bool("use_viewdirs", False)
         self._crit_c, self._crit_f = crit_c, crit_f
@@ -616,12 +643,14 @@ class Trainer:
             self.use_viewdirs,
             amp=self.use_amp,
             remat=self.remat,
+            alpha_crit=self.alpha_crit,
         )
         if mesh is not None:
             self._train_step, self._eval_step = self._shard_steps(
                 self._train_step, self._eval_step
             )
         self._step_cfg = renderer.cfg
+        self._step_alpha = self._alpha_active()
 
         # --- bookkeeping ---
         self.epoch = 0
@@ -750,10 +779,21 @@ class Trainer:
 
         return sharded_train, sharded_eval
 
+    def _alpha_active(self) -> bool:
+        ac = self.alpha_crit
+        return (
+            ac is not None
+            and ac.lambda_alpha > 0.0
+            and ac.epoch >= ac.init_epoch
+        )
+
     def _maybe_rebuild_step(self):
-        """Renderer schedule changed -> rebuild the jitted step for the new
-        static sample counts."""
-        if self.renderer.cfg != self._step_cfg:
+        """Renderer schedule changed, or the alpha-prior epoch gate flipped ->
+        rebuild the jitted step for the new static configuration."""
+        if (
+            self.renderer.cfg != self._step_cfg
+            or self._alpha_active() != self._step_alpha
+        ):
             self._train_step, self._eval_step = make_step_fns(
                 self.net,
                 self.optimizer,
@@ -765,12 +805,14 @@ class Trainer:
                 self.use_viewdirs,
                 amp=self.use_amp,
                 remat=self.remat,
+                alpha_crit=self.alpha_crit,
             )
             if self.mesh is not None:
                 self._train_step, self._eval_step = self._shard_steps(
                     self._train_step, self._eval_step
                 )
             self._step_cfg = self.renderer.cfg
+            self._step_alpha = self._alpha_active()
 
     def _prep(self, data, is_train: bool = True) -> Optional[dict]:
         nviews = int(self.nviews[self.rng.integers(0, len(self.nviews))])
@@ -850,6 +892,10 @@ class Trainer:
 
     def train_epoch(self) -> Dict[str, float]:
         t_start = time.time()
+        if self.alpha_crit is not None:
+            # epoch-gated alpha prior (reference loss.py sched_step contract)
+            self.alpha_crit.epoch = self.epoch
+            self._maybe_rebuild_step()
         n_batches = 0
         last: Dict[str, Any] = {}
         for _ in range(self.num_epoch_repeats):

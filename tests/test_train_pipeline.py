@@ -132,6 +132,51 @@ def test_training_loss_decreases_and_resumes(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_alpha_prior_epoch_gated(tmp_path):
+    """loss.alpha with lambda_alpha > 0 wires the Neural-Volumes alpha prior
+    (reference loss.py:4-37) into the jitted step: inactive before
+    init_epoch (no 'la' term), active after (finite 'la', total includes
+    it), via a one-time step rebuild when the gate flips."""
+    conf = hocon.parse_string(
+        TINY_CONF.replace(
+            "loss {",
+            "loss {\n    alpha { lambda_alpha = 0.01\n clamp_alpha = 100\n "
+            "init_epoch = 2 }",
+        )
+    )
+    net = make_model(conf["model"])
+    ds = SyntheticDataset(n_objs=2, n_views=4, image_size=24)
+    renderer = NeRFRenderer.from_conf(conf["renderer"])
+    sample = ds[0]
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample["images"][None, :1]),
+        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(np.float32(sample["focal"])),
+        jnp.zeros((1, 4, 3), jnp.float32),
+        jnp.zeros((1, 4, 3), jnp.float32),
+    )
+    trainer = Trainer(net, variables, ds, ds, renderer, _Args(str(tmp_path)), conf)
+    assert trainer.alpha_crit is not None
+    data = collate([ds[0]])
+
+    trainer.epoch = 0
+    trainer.alpha_crit.epoch = 0
+    trainer._maybe_rebuild_step()
+    ld0 = trainer.train_step(data)
+    assert "la" not in ld0  # gate closed before init_epoch
+
+    trainer.epoch = 2
+    trainer.alpha_crit.epoch = 2
+    trainer._maybe_rebuild_step()
+    ld2 = trainer.train_step(data)
+    assert "la" in ld2 and np.isfinite(ld2["la"])
+    # total includes the prior term
+    np.testing.assert_allclose(
+        ld2["t"], ld2["rc"] + ld2.get("rf", 0.0) + ld2["la"], rtol=1e-5
+    )
+
+
 def test_eval_step_and_vis_free(tmp_path):
     conf, net, ds, renderer, variables, args, trainer = _build(tmp_path)
     data = collate([ds[0]])
