@@ -515,6 +515,15 @@ class Trainer:
         self.check_gradients = getattr(
             args, "check_gradients", tc("check_gradients", False)
         )
+        # --profile_dir: capture a jax.profiler device trace of a few
+        # steady-state train steps (TensorBoard-viewable; the TPU-native
+        # analog of the reference's torch record_function cut points —
+        # SURVEY §5.1).  Steps 0-1 are skipped so compile/warmup never
+        # pollutes the trace.
+        self.profile_dir = getattr(args, "profile_dir", None)
+        self._profile_active = False
+        self._profile_done = self.profile_dir is None
+        self._profile_steps_seen = 0
 
         batch_size = getattr(args, "batch_size", tc("batch_size", 4))
         # decoded-sample cache: multi-epoch training re-reads every object per
@@ -847,6 +856,40 @@ class Trainer:
         self.global_step += 1
         return loss_dict
 
+    def _maybe_profile(self, loss_dict) -> None:
+        """Trace train steps 3-5 with jax.profiler (steps 1-2 absorb
+        compile/warmup; the counter spans epochs so short epochs still
+        capture a window).  No-op unless ``profile_dir`` is set."""
+        if self._profile_done:
+            return
+        self._profile_steps_seen += 1
+        n_done = self._profile_steps_seen
+        if not self._profile_active and n_done >= 2:
+            os.makedirs(self.profile_dir, exist_ok=True)
+            try:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profile_active = True
+            except Exception as e:  # backend without profiler support
+                print(f"profile: start_trace failed ({e}); disabled")
+                self._profile_done = True
+        elif self._profile_active and n_done >= 5:
+            jax.block_until_ready(loss_dict)
+            self._stop_profile()
+
+    def _stop_profile(self) -> None:
+        if not self._profile_active:
+            return
+        try:
+            jax.profiler.stop_trace()
+            print(
+                f"profile: device trace written to {self.profile_dir} "
+                f"(view: tensorboard --logdir {self.profile_dir})"
+            )
+        except Exception as e:
+            print(f"profile: stop_trace failed ({e})")
+        self._profile_active = False
+        self._profile_done = True
+
     def train_step(self, data) -> Optional[Dict[str, float]]:
         self._maybe_flip_bbox()
         batch = self._prep(data, is_train=True)
@@ -905,6 +948,7 @@ class Trainer:
                 loss_dict = self._device_train_step(batch)
                 n_batches += 1
                 last = loss_dict
+                self._maybe_profile(loss_dict)
                 if self.global_step % self.print_interval == 0:
                     floats = {k: float(v) for k, v in loss_dict.items()}
                     if self.writer is not None:
@@ -981,4 +1025,5 @@ class Trainer:
                         print(f"Wrote vis to {path} (psnr {vis_psnr:.2f})")
                 except Exception as e:
                     print(f"vis_step failed: {e}")
+        self._stop_profile()  # run shorter than the trace window: close it
         self.epoch = self.num_epochs

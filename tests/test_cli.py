@@ -216,6 +216,25 @@ def test_train_cli(monkeypatch, env):
     assert "pixel_nerf_latest" in files
 
 
+def test_train_cli_profile(monkeypatch, env, tmp_path):
+    """--profile_dir captures a jax.profiler device trace of steps 3-5
+    (TensorBoard-viewable; SURVEY §5.1 tracing subsystem)."""
+    prof = tmp_path / "prof"
+    argv = _base_argv(
+        env,
+        "tiny_train_prof",
+        ["--epochs", "5", "-B", "2", "-R", "32", "--fixed_test",
+         "--lr", "1e-4", "--profile_dir", str(prof)],
+        data_key="srn_data",
+        fmt="srn",
+    )
+    _run(monkeypatch, "train/train.py", argv)
+    trace_files = [
+        os.path.join(d, f) for d, _, fs in os.walk(prof) for f in fs
+    ]
+    assert trace_files, f"no trace files written under {prof}"
+
+
 def test_train_cli_multi_device(monkeypatch, env, capsys):
     """--gpu_id with N>1 entries must construct a ("data", "rays") mesh and
     train sharded through the CLI path (reference: --gpu_id '0 1 3' drives

@@ -52,6 +52,14 @@ def extra_args(parser):
         default=None,
         help="Enable jax NaN debugging (numerical sanitizer; SURVEY §5.2)",
     )
+    parser.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="Capture a jax.profiler device trace of train steps 3-5 into "
+        "this directory (TensorBoard-viewable; TPU-native analog of the "
+        "reference's torch record_function tracing, SURVEY §5.1)",
+    )
     return parser
 
 
