@@ -56,15 +56,21 @@ class TrainingMonitor:
         )
         print(f"Time:  elapsed {elapsed / 60:.1f} min, ETA {eta / 60:.1f} min")
         print("=" * 70)
-        # sanity banding (reference monitor.py:64-71)
+        # sanity banding (same thresholds as reference monitor.py:64-71)
         if stats["psnr_mean"] < 10:
-            print("WARNING: PSNR is very low! Check your data and model!")
+            print(
+                "warning: mean PSNR under 10 dB — likely a data or model "
+                "wiring problem"
+            )
         elif stats["psnr_mean"] < 15:
-            print("WARNING: PSNR is low. Training might need adjustment.")
+            print(
+                "warning: mean PSNR under 15 dB — training may need "
+                "hyperparameter adjustment"
+            )
         elif stats["psnr_mean"] > 30:
-            print("EXCELLENT: PSNR is very good!")
+            print("mean PSNR above 30 dB — excellent reconstruction quality")
         elif stats["psnr_mean"] > 25:
-            print("GOOD: PSNR is in expected range!")
+            print("mean PSNR above 25 dB — within the expected range")
 
     def check_convergence(self, patience: int = 10, threshold: float = 0.1) -> bool:
         """PSNR improvement over the last `patience` window below `threshold`

@@ -866,6 +866,9 @@ class Trainer:
         n_done = self._profile_steps_seen
         if not self._profile_active and n_done >= 2:
             os.makedirs(self.profile_dir, exist_ok=True)
+            # drain step 2's async dispatch first so its device execution
+            # (and any residual warmup) cannot bleed into the trace window
+            jax.block_until_ready(loss_dict)
             try:
                 jax.profiler.start_trace(self.profile_dir)
                 self._profile_active = True
@@ -898,6 +901,8 @@ class Trainer:
         loss_dict = self._device_train_step(
             {k: jnp.asarray(v) for k, v in batch.items()}
         )
+        # profiling applies to the public step API too, not just train_epoch
+        self._maybe_profile(loss_dict)
         return {k: float(v) for k, v in loss_dict.items()}
 
     def eval_step(self, data) -> Optional[Dict[str, float]]:
@@ -987,6 +992,15 @@ class Trainer:
 
     def start(self) -> None:
         """Main loop (reference trainer.py:670-714)."""
+        try:
+            self._run_epochs()
+        finally:
+            # an exception / KeyboardInterrupt mid-training must still flush
+            # an open profiler trace, or the trace files are unusable
+            self._stop_profile()
+        self.epoch = self.num_epochs
+
+    def _run_epochs(self) -> None:
         start_epoch = self.epoch
         for epoch in range(start_epoch, self.num_epochs):
             self.epoch = epoch
@@ -1025,5 +1039,3 @@ class Trainer:
                         print(f"Wrote vis to {path} (psnr {vis_psnr:.2f})")
                 except Exception as e:
                     print(f"vis_step failed: {e}")
-        self._stop_profile()  # run shorter than the trace window: close it
-        self.epoch = self.num_epochs

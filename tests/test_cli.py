@@ -233,6 +233,15 @@ def test_train_cli_profile(monkeypatch, env, tmp_path):
         os.path.join(d, f) for d, _, fs in os.walk(prof) for f in fs
     ]
     assert trace_files, f"no trace files written under {prof}"
+    # a REAL trace (not just the directory): jax.profiler writes under
+    # plugins/profile/<ts>/ with .xplane.pb (and/or .trace.json.gz) files
+    real = [
+        p
+        for p in trace_files
+        if os.sep + os.path.join("plugins", "profile") + os.sep in p
+        and (p.endswith(".xplane.pb") or p.endswith(".trace.json.gz"))
+    ]
+    assert real, f"no plugins/profile xplane/trace files among {trace_files}"
 
 
 def test_train_cli_multi_device(monkeypatch, env, capsys):
