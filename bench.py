@@ -50,8 +50,9 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
                 white_bkgd: bool = True):
     """Overfit the scene for a few hundred steps so sigma is object-like.
 
-    ``net`` must be an XLA-impl model (the fused Pallas eval kernel has no
-    reverse-mode autodiff); the trained params drop into the Pallas net —
+    ``net`` should be built with ``diff_mode=True``: training rides the fused
+    Pallas field kernel's custom-VJP backward on TPU (ops/resnetfc_vjp.py)
+    and the XLA MLP elsewhere; the trained params drop into the eval net —
     identical parameter structure, different query lowering."""
     import jax
     import jax.numpy as jnp
@@ -105,7 +106,10 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         noise_std=1.0,
     )
     train_step, _ = make_step_fns(
-        net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs
+        net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs,
+        # the fused kernel's custom VJP recomputes in VMEM — outer remat
+        # would only add a redundant forward replay (docs/PERFORMANCE.md)
+        remat=not net.field_backward_in_kernel(1),
     )
     data = {
         "images": sample["images"][None],
@@ -243,9 +247,9 @@ def setup_scene():
 
     train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 4000))
     if train_steps > 0:
-        train_net = (
-            net if mlp_impl == "xla" else make_model(conf["model"], mlp_impl="xla")
-        )
+        # diff_mode keeps field-kernel inputs dense so train steps ride the
+        # fused kernel's custom-VJP backward (auto: TPU only)
+        train_net = make_model(conf["model"], mlp_impl=mlp_impl, diff_mode=True)
         variables = quick_train(
             train_net, variables, sample, focal, use_viewdirs, train_steps,
             white_bkgd=white_bkgd,
@@ -362,10 +366,200 @@ def psnr_vs(rgb, rgb_ref) -> float:
     return -10.0 * np.log10(max(mse, 1e-12))
 
 
+REFERENCE_TRAIN_RAYS_PER_SEC = 16_700.0
+# = REFERENCE_RAYS_PER_SEC / 3: a train step costs forward + ~2x-forward
+# backward on the same chain the eval denominator priced, so dividing the
+# (already generous, docs/BASELINE_MEASUREMENT.md) 50k eval figure by the
+# FLOP ratio assumes the reference's eager autograd adds ZERO overhead over
+# its eval path — maximally generous.  The measured torch fwd+bwd/fwd-only
+# rate ratio on this host is reproducible via
+# `python scripts/measure_baseline.py --train` (see the doc's train section).
+
+
+def bench_train():
+    """Training-throughput bench (BENCH_MODE=train): the reference SRN recipe
+    — SB=4 objects x 128 rays/object x (64 coarse + 96 fine-union) samples,
+    NS=1 — through the real Trainer step (make_step_fns: bf16 AMP, remat,
+    donated state), on synthetic 128px data.
+
+    Steps run in lax.scan segments (one dispatch per segment) so the number
+    measures DEVICE throughput, not the host/tunnel round trip the real
+    Trainer hides with prefetch overlap.  Prints ONE JSON line like the eval
+    bench; stderr logs steps/s and the model-math MFU.
+
+    Env knobs: BENCH_TRAIN_CONF (default srn), BENCH_PALLAS=0 (XLA MLP),
+    BENCH_TRAIN_BATCH (SB, default 4), BENCH_TRAIN_RAYS (default 128),
+    BENCH_PEAK_TFLOPS (default 197, v5e bf16).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pixelnerf_tpu.config import hocon
+    from pixelnerf_tpu.data import SyntheticDataset
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.models.losses import l2_loss
+    from pixelnerf_tpu.render.renderer import RenderConfig
+    from pixelnerf_tpu.train.trainer import (
+        TrainState,
+        make_step_fns,
+        prepare_ray_batch,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    conf_name = os.environ.get("BENCH_TRAIN_CONF", "srn")
+    conf_path = (
+        conf_name
+        if os.sep in conf_name
+        else os.path.join(here, "conf", "exp", f"{conf_name}.conf")
+    )
+    conf = hocon.parse_file(conf_path)
+    mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
+    net = make_model(conf["model"], mlp_impl=mlp_impl, diff_mode=True)
+    use_viewdirs = net.conf.get_bool("use_viewdirs", False)
+
+    SB = int(os.environ.get("BENCH_TRAIN_BATCH", 4))
+    R = int(os.environ.get("BENCH_TRAIN_RAYS", 128))
+    ds = SyntheticDataset(n_objs=SB, n_views=3, image_size=128)
+    samples = [ds[i] for i in range(SB)]
+    focal = np.float32(samples[0]["focal"])
+    data = {
+        "images": np.stack([s["images"] for s in samples]),
+        "poses": np.stack([s["poses"] for s in samples]),
+        "focal": np.full((SB,), focal, np.float32),
+    }
+
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(data["images"][:1, :1]),
+        jnp.asarray(data["poses"][:1, :1]),
+        jnp.asarray(focal),
+        jnp.zeros((1, 8, 3), jnp.float32),
+        jnp.zeros((1, 8, 3), jnp.float32),
+    )
+
+    rcf = conf["renderer"]
+    cfg = RenderConfig(
+        n_coarse=rcf.get_int("n_coarse", 64),
+        n_fine=rcf.get_int("n_fine", 32),
+        n_fine_depth=rcf.get_int("n_fine_depth", 16),
+        white_bkgd=rcf.get_bool("white_bkgd", True),
+        noise_std=0.0,
+    )
+    opt = optax.adam(1e-4)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    nviews = int(os.environ.get("BENCH_TRAIN_NVIEWS", 1))
+    # remat default mirrors the Trainer: OFF when the fused kernel handles
+    # the field backward (its custom VJP already recomputes in VMEM — an
+    # outer jax.checkpoint would only add a redundant forward replay), ON
+    # for the XLA MLP (no-remat residuals = every layer activation)
+    remat_env = os.environ.get("BENCH_TRAIN_REMAT", "auto")
+    if remat_env == "auto":
+        remat = not net.field_backward_in_kernel(nviews)
+    else:
+        remat = remat_env != "0"
+    train_step, _ = make_step_fns(
+        net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs, remat=remat
+    )
+
+    seg = int(os.environ.get("BENCH_TRAIN_SEG", 24))
+    n_seg = int(os.environ.get("BENCH_TRAIN_SEGS", 4))
+    host_rng = np.random.default_rng(3)
+    batches = [
+        prepare_ray_batch(data, nviews, R, 0.8, 1.8, False, host_rng)
+        for _ in range(seg)
+    ]
+    rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
+    gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
+    fixed = {
+        k: jnp.asarray(batches[0][k])
+        for k in batches[0]
+        if k not in ("rays", "rgb_gt")
+    }
+
+    @jax.jit
+    def run_seg(state, key):
+        def body(carry, xs):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            rays, gt = xs
+            st, ld = train_step(st, dict(fixed, rays=rays, rgb_gt=gt), sk)
+            return (st, k), ld["t"]
+
+        (state, _), losses = jax.lax.scan(body, (state, key), (rays_T, gt_T))
+        return state, losses
+
+    # warmup: compile + one steady segment
+    state, losses = run_seg(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(losses)
+    state, losses = run_seg(state, jax.random.PRNGKey(2))
+    jax.block_until_ready(losses)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    rates = []
+    for i in range(n_seg):
+        t0 = time.perf_counter()
+        state, losses = run_seg(state, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(losses)
+        rates.append(seg / (time.perf_counter() - t0))
+    steps_per_sec = float(np.median(rates))
+    train_rays_per_sec = steps_per_sec * SB * R
+
+    # model-math MFU: lin_in + lin_z(x combine_layer) + blocks + lin_out MACs
+    # per field eval; evals/step = SB*R*(n_coarse + fine union)*NS; train =
+    # 3x forward (fwd + dgrad + wgrad — remat/recompute replays NOT counted
+    # as useful, so their cost shows up as lower MFU, as it should)
+    mc = conf["model"]["mlp_coarse"]
+    H = mc.get_int("d_hidden", 512)
+    nb = mc.get_int("n_blocks", 5)
+    cl = min(mc.get_int("combine_layer", 3), nb)
+    code = conf["model"].get("code", hocon.ConfigTree({}))
+    d_in = 3 * (2 * code.get_int("num_freqs", 6) + 1) + (
+        3 if use_viewdirs else 0
+    )
+    d_latent = 512  # resnet34 4-layer concat (encoder latent_size)
+    mac_eval = d_in * H + cl * d_latent * H + nb * 2 * H * H + H * 4
+    union = cfg.n_coarse + cfg.n_fine + cfg.n_fine_depth
+    evals = SB * R * (cfg.n_coarse + union) * nviews
+    flops_step = 3 * 2 * mac_eval * evals
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+    mfu = flops_step * steps_per_sec / peak
+    log(
+        f"bench_train[{mlp_impl}]: {steps_per_sec:.1f} steps/s "
+        f"({1000.0 / steps_per_sec:.1f} ms/step), segment rates "
+        + ", ".join(f"{r:.1f}" for r in rates)
+    )
+    log(
+        f"bench_train: {flops_step / 1e9:.2f} GFLOP/step useful (3x-fwd "
+        f"model math) -> {mfu * 100:.1f}% MFU of {peak / 1e12:.0f} TF/s peak"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(train_rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(
+                    train_rays_per_sec / REFERENCE_TRAIN_RAYS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
 def main():
     from pixelnerf_tpu.config.args import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if os.environ.get("BENCH_MODE", "eval") == "train":
+        bench_train()
+        return
 
     s = setup_scene()
     pipeline, variables, scene, rays, chunk, rng = (

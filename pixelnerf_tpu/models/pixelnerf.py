@@ -93,6 +93,10 @@ class PixelNeRFNet(nn.Module):
     conf_dict: Any  # frozen dict snapshot of the `model` conf subtree
     stop_encoder_grad: bool = False
     mlp_impl: str = "xla"  # "xla" | "pallas" fused eval kernel (TPU)
+    # Training-mode construction: keep every field-kernel input DENSE (no
+    # deferred LatentGather / RawCode, which ride the eval-only kernel) so the
+    # fused MLP stays differentiable end to end (ops.resnetfc_vjp).
+    diff_mode: bool = False
 
     @property
     def conf(self) -> ConfigTree:
@@ -291,6 +295,8 @@ class PixelNeRFNet(nn.Module):
         """Whether the pixel-aligned lookup can ride the fused Pallas kernel."""
         if self.mlp_impl not in ("pallas", "auto"):
             return False
+        if self.diff_mode:  # the fused-gather kernel has no backward
+            return False
         if isinstance(latents, (list, tuple)):
             # raw multi-scale pyramid (no fusion): per-scale tables of mixed
             # resolutions — dense path. With smart fusion the pyramid is
@@ -312,6 +318,46 @@ class PixelNeRFNet(nn.Module):
             return False
         # NS tables must fit VMEM together
         return NS * latents.shape[1] * latents.shape[2] <= self._fused_gather_cap()
+
+    def field_backward_in_kernel(self, max_nviews: int = 1) -> bool:
+        """True when train steps route the field MLP through the fused Pallas
+        custom-VJP kernel (ops.resnetfc_vjp): dense inputs (diff_mode),
+        supported ResnetFC envelope on BOTH heads, TPU backend for 'auto'.
+
+        The kernel's backward recomputes its tower inside VMEM and stores only
+        its own inputs, so an outer ``jax.checkpoint`` over the field would
+        add a redundant forward replay (measured +16-19% step time) without
+        saving memory — the Trainer uses this to default ``train.remat``.
+        """
+        import jax
+
+        from ..ops import resnetfc_pallas as rp
+
+        if not (self.diff_mode and self.mlp_impl in ("pallas", "auto")):
+            return False
+        if self.mlp_impl == "auto" and jax.default_backend() != "tpu":
+            return False
+        conf = self.conf
+        for head in ("mlp_coarse", "mlp_fine"):
+            if head not in conf:
+                continue
+            sub = conf[head]
+            mlp_type = sub.get_string("type", "mlp")
+            if mlp_type == "empty":
+                continue
+            if mlp_type != "resnet":
+                return False
+            if not rp.supports(
+                sub.get_float("beta", 0.0),
+                sub.get_bool("use_spade", False),
+                sub.get_string("combine_type", "average"),
+            ):
+                return False
+            if max_nviews > 1 and not (
+                sub.get_int("combine_layer", 1000) < sub.get_int("n_blocks", 5)
+            ):
+                return False
+        return True
 
     # ----------------------------- query -----------------------------
     def query(
@@ -349,7 +395,9 @@ class PixelNeRFNet(nn.Module):
 
         mlp_input = None
         if self.d_in > 0:
-            defer_code = self.use_code and _defer_code_enabled()
+            defer_code = (
+                self.use_code and _defer_code_enabled() and not self.diff_mode
+            )
             if self.use_xyz:
                 z_feature = xyz_rot if self.normalize_z else xyz_cam
             else:
@@ -504,10 +552,14 @@ class PixelNeRFNet(nn.Module):
         out = out.astype(jnp.float32)
 
         if planar_out:
-            # (1, d_out, SB*B) -> (SB, d_out, B); free when SB == 1
-            out = out.reshape(self.d_out, SB, B)
-            if SB > 1:
-                out = jnp.swapaxes(out, 0, 1)
+            # two producer layouts: the fused kernel returns flat point-major
+            # columns (1, d_out, SB*B) with column index s*B + b; the XLA MLP
+            # returns (SB, d_out, B) already (combine_interleaved keeps the
+            # object dim).  Only the former needs the un-flatten + swap —
+            # reshaping the XLA layout as (d_out, SB, B) would scramble
+            # objects across channels (regression: test_models.py planar/SB>1)
+            if out.shape[0] == 1 and SB > 1:
+                out = jnp.swapaxes(out.reshape(self.d_out, SB, B), 0, 1)
             else:
                 out = out.reshape(SB, self.d_out, B)
             rgb = nn.sigmoid(out[:, :3])

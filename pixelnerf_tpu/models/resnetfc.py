@@ -108,36 +108,55 @@ class ResnetFC(nn.Module):
         """
         parts = zx if type(zx) is tuple else None  # NOT LatentGather (also a tuple)
         if self._pallas_supported(combine_inner_dims):
+            import os
+
             from ..ops import resnetfc_pallas as rp
+            from ..ops.resnetfc_vjp import resnetfc_pallas_diff
 
             NS, B = combine_inner_dims
+            deferred = False  # LatentGather / RawCode inputs (eval-only kernel)
             if parts is not None:
                 z_p, x_p = parts
                 if z_p is None or isinstance(z_p, rp.LatentGather):
                     z_arg = z_p  # gather taps arrive pre-flattened from query
+                    deferred = deferred or z_p is not None
                 else:
                     z_arg = z_p.reshape(-1, z_p.shape[-1])
                 if isinstance(x_p, rp.RawCode):
                     # deferred positional code — evaluated inside the kernel
                     arg = (z_arg, x_p)
                     d_in = x_p.w.shape[-1]
+                    deferred = True
+                    rows = x_p.x.reshape(-1, x_p.x.shape[-1]).shape[0]
                 else:
                     arg = (z_arg, x_p.reshape(-1, x_p.shape[-1]))
                     d_in = x_p.shape[-1]
+                    rows = arg[1].shape[0]
             else:
                 arg = zx.reshape(-1, zx.shape[-1])
                 d_in = zx.shape[-1] - self.d_latent
-            return rp.resnetfc_pallas(
-                self.variables["params"],
-                arg,
+                rows = arg.shape[0]
+            sb = rows // (NS * B)  # outer object superbatch (train: SB objs)
+            kwargs = dict(
                 NS=NS,
                 d_latent=self.d_latent,
                 d_in=d_in,
                 n_blocks=self.n_blocks,
                 combine_layer=self.combine_layer,
                 d_out=self.d_out,
+                sb=sb,
                 planar_out=planar_out,
+                interpret=os.environ.get("PIXELNERF_PALLAS_INTERPRET", "0")
+                == "1",
             )
+            if deferred:
+                # eval-only fast path: no reverse-mode derivative (training
+                # keeps inputs dense — PixelNeRFNet.diff_mode)
+                return rp.resnetfc_pallas(self.variables["params"], arg, **kwargs)
+            # dense inputs ride the jax.custom_vjp entry: identical Mosaic
+            # forward, plus a fused recompute-in-VMEM backward kernel, so the
+            # same call serves eval AND training
+            return resnetfc_pallas_diff(self.variables["params"], arg, **kwargs)
 
         act = _activation(self.beta)
         d_latent = self.d_latent

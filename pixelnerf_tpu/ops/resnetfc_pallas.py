@@ -555,6 +555,7 @@ def resnetfc_pallas(
     n_blocks: int,
     combine_layer: int,
     d_out: int = 4,
+    sb: int = 1,
     block_points: int = 1024,
     interpret: bool = False,
     planar_out: bool = False,
@@ -571,6 +572,10 @@ def resnetfc_pallas(
     :param params: the ResnetFC param subtree (lin_in / lin_z_k / blocks_k / lin_out)
     :param planar_out: write the result channel-major — each output channel lands
         as a contiguous row, so compositing never column-slices (see _kernel_2d)
+    :param sb: outer superbatch (object) count.  Rows arrive object-major
+        ``(SB, NS, B)``-flattened (reference combine_interleaved layout,
+        util.py:466-476); the view mean at combine_layer only spans the NS
+        views of one object, so multi-view packing interleaves per object.
     """
     raw_code = False
     if isinstance(zx, tuple):
@@ -599,11 +604,15 @@ def resnetfc_pallas(
         assert D == d_latent + d_in, (D, d_latent, d_in)
         z = zx[..., :d_latent] if d_latent > 0 else None
         x_part = zx[..., d_latent:]
-    assert total % NS == 0
+    assert total % (NS * sb) == 0, (total, NS, sb)
     assert NS == 1 or combine_layer < n_blocks, (
         "multi-view inputs require an in-range combine_layer"
     )
-    B = total // NS
+    assert sb == 1 or not isinstance(z, LatentGather), (
+        "fused gather tables are per-object (one table set in VMEM): SB must be 1"
+    )
+    B = total // NS  # kernel-visible point count (sb folded in)
+    B_obj = B // sb  # per-object points (the multi-view interleave stride)
     H = params["lin_out"]["kernel"].shape[0]
 
     bf = _ct(interpret)
@@ -758,7 +767,9 @@ def resnetfc_pallas(
         # multi-view: point-major column groups — all NS views of a point in
         # one row, so blocks stay 2D (see _kernel_2d_mv)
         def to_point_major(a, width):
-            a = a.reshape(NS, B, width).transpose(1, 0, 2)
+            # rows are object-major (s, v, b): interleave the NS views of each
+            # (s, b) point into one row of per-view column groups
+            a = a.reshape(sb, NS, B_obj, width).transpose(0, 2, 1, 3)
             a = a.reshape(B, NS * width)
             if pad_b:
                 a = jnp.pad(a, ((0, pad_b), (0, 0)))

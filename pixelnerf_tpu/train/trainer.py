@@ -510,7 +510,23 @@ class Trainer:
         self.num_epochs = args.epochs
         self.accu_grad = tc("accu_grad", 1)
         self.use_amp = getattr(args, "use_amp", tc("use_amp", True))
-        self.remat = getattr(args, "remat", tc("remat", True))
+        # train.remat default: OFF when the field backward rides the fused
+        # Pallas custom-VJP kernel (it recomputes its tower in VMEM and stores
+        # only kernel inputs, so an outer jax.checkpoint would only add a
+        # redundant forward replay — measured +16-19% step time); ON for the
+        # XLA MLP (whose no-remat residuals are every layer activation).
+        remat = getattr(args, "remat", None)
+        if remat is None and train_conf is not None and "remat" in train_conf:
+            remat = train_conf.get_bool("remat")
+        if remat is None:
+            max_nviews = max(
+                int(v) for v in str(getattr(args, "nviews", "1")).split()
+            )
+            remat = not (
+                hasattr(net, "field_backward_in_kernel")
+                and net.field_backward_in_kernel(max_nviews)
+            )
+        self.remat = bool(remat)
         self.grad_clip = getattr(args, "grad_clip", tc("grad_clip", 0.0))
         self.check_gradients = getattr(
             args, "check_gradients", tc("check_gradients", False)

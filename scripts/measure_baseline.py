@@ -123,6 +123,49 @@ def measure_model_cpu(n_points: int = 100_000, n_chunks: int = 4) -> float:
     return n_chunks * n_points / dt
 
 
+def measure_train_step_cpu(n_steps: int = 3) -> dict:
+    """Torch fwd+bwd+Adam through the same chain at the reference TRAIN recipe
+    (train.py:88, conf/default.conf:50-55): 4 objects x 128 rays x 160 field
+    evals (64 coarse + 96 fine-union) = 81,920 points/step, NS=1.
+
+    Returns the measured train points/s and the fwd+bwd/fwd-only rate ratio —
+    the ground truth for the bench's /3 'zero-overhead autograd' assumption
+    (the measured eager ratio is WORSE than 3x, so /3 stays generous)."""
+    pts_step = 4 * 128 * 160
+    model = RefPointPipeline().train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    xyz = torch.randn(pts_step, 3) * 0.5 + torch.tensor([0.0, 0.0, -1.3])
+    dirs = F.normalize(torch.randn(pts_step, 3), dim=1)
+    target = torch.rand(pts_step, 4)
+
+    def step():
+        opt.zero_grad()
+        out = model(xyz, dirs)
+        loss = F.mse_loss(out, target)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = time.perf_counter() - t0
+    train_pts = n_steps * pts_step / dt
+
+    with torch.no_grad():
+        model(xyz, dirs)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            model(xyz, dirs)
+        fwd_pts = n_steps * pts_step / (time.perf_counter() - t0)
+    return {
+        "train_points_per_sec": round(train_pts),
+        "train_rays_per_sec": round(train_pts / 160.0, 1),
+        "fwd_points_per_sec_same_chunk": round(fwd_pts),
+        "fwd_over_train_ratio": round(fwd_pts / train_pts, 2),
+    }
+
+
 def measure_cpu_peak_gflops(n: int = 1024, reps: int = 8) -> float:
     a = torch.randn(n, n)
     b = torch.randn(n, n)
@@ -170,6 +213,8 @@ def main():
             report["gpu_estimates_rays_per_sec"][f"{name}_util{util}"] = round(
                 rays
             )
+    if "--train" in sys.argv:
+        report["train"] = measure_train_step_cpu()
     json.dump(report, sys.stdout, indent=2)
     print()
 

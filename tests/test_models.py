@@ -346,6 +346,32 @@ def test_pixelnerf_query_jits_and_views_consistency():
     np.testing.assert_allclose(np.asarray(out_j), np.asarray(out1), atol=1e-5)
 
 
+def test_pixelnerf_query_planar_matches_flat_superbatch():
+    """planar_out must be a pure transpose of the flat output for SB>1 too.
+
+    Regression: the planar branch used to reinterpret the XLA MLP's
+    (SB, d_out, B) output as (d_out, SB, B), scrambling objects across
+    channels for every SB>1 training step (the trainer renders with
+    planar_out=True and -B objects)."""
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net(NS=1, SB=3)
+    scene = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    flat = net.apply(
+        variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        planar_out=False, method=PixelNeRFNet.query,
+    )
+    planar = net.apply(
+        variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        planar_out=True, method=PixelNeRFNet.query,
+    )
+    assert planar.shape == (flat.shape[0], flat.shape[2], flat.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(planar, 1, 2)), np.asarray(flat), atol=1e-6
+    )
+
+
 def test_pixelnerf_multiscale_fusion_path():
     conf_text = SMALL_CONF.replace(
         "use_first_pool = False }",

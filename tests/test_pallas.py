@@ -92,11 +92,9 @@ def test_pallas_no_latent():
     np.testing.assert_allclose(out, ref, atol=tol)
 
 
-def test_resnetfc_pallas_impl_flag():
+def test_resnetfc_pallas_impl_flag(monkeypatch):
     """ResnetFC(impl='pallas') must route through the kernel outside init and
     produce outputs close to the XLA path."""
-    import pixelnerf_tpu.ops.resnetfc_pallas as rpmod
-
     model_x = ResnetFC(d_out=4, n_blocks=3, d_latent=64, d_hidden=128, combine_layer=2)
     model_p = ResnetFC(
         d_out=4, n_blocks=3, d_latent=64, d_hidden=128, combine_layer=2, impl="pallas"
@@ -107,15 +105,8 @@ def test_resnetfc_pallas_impl_flag():
     zx = jnp.asarray(rng.normal(size=(2 * 50, 74)).astype(np.float32))
 
     # route pallas through interpret mode on CPU
-    orig = rpmod.resnetfc_pallas
-    def interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-    rpmod.resnetfc_pallas = interp
-    try:
-        out_p = model_p.apply({"params": params}, zx, combine_inner_dims=(2, 50))
-    finally:
-        rpmod.resnetfc_pallas = orig
+    monkeypatch.setenv("PIXELNERF_PALLAS_INTERPRET", "1")
+    out_p = model_p.apply({"params": params}, zx, combine_inner_dims=(2, 50))
     out_x = model_x.apply({"params": params}, zx, combine_inner_dims=(2, 50))
     ref = np.asarray(out_x)
     tol = 0.015 * max(float(np.abs(ref).max()), 1.0)

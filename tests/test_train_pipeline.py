@@ -318,3 +318,52 @@ def test_trainer_mesh_sharded_step(tmp_path):
     assert ld2 is not None and np.isfinite(ld2["t"])
     np.testing.assert_allclose(ld1["t"], ld2["t"], rtol=2e-3)
     np.testing.assert_allclose(ld1["grad_norm"], ld2["grad_norm"], rtol=2e-3)
+
+
+@pytest.mark.parametrize("nviews", ["1", "2"])
+def test_trainer_fused_mlp_matches_xla(tmp_path, monkeypatch, nviews):
+    """Training with the fused Pallas field kernel (custom-VJP backward,
+    ops.resnetfc_vjp) matches the XLA MLP step numerically: identical batch +
+    rng => matching losses and gradient norms over several optimizer steps.
+
+    Runs amp=False so the interpret-mode kernel (f32) and the XLA path (f32,
+    highest precision) are directly comparable; on TPU both sides run bf16
+    with f32 accumulation.  Covers NS=1 and the multi-view point-major packing
+    (SB=2 objects x NS=2 views) in the same step.
+    """
+    monkeypatch.setenv("PIXELNERF_PALLAS_INTERPRET", "1")
+    conf, _, ds, renderer, variables, _, tr_x = _build(
+        tmp_path / "x", use_amp=False, nviews=nviews
+    )
+    net_p = make_model(conf["model"], mlp_impl="pallas", diff_mode=True)
+    conf2 = hocon.parse_string(TINY_CONF)
+    args2 = _Args(str(tmp_path / "p"), use_amp=False, nviews=nviews)
+    tr_p = Trainer(net_p, variables, ds, ds, renderer, args2, conf2)
+
+    tr_x.rng = np.random.default_rng(7)
+    tr_p.rng = np.random.default_rng(7)
+    tr_x.jrng = jax.random.PRNGKey(3)
+    tr_p.jrng = jax.random.PRNGKey(3)
+    data = collate([ds[0], ds[1]])
+    for step in range(3):
+        ld_x = tr_x.train_step(data)
+        ld_p = tr_p.train_step(data)
+        assert np.isfinite(ld_p["t"]), ld_p
+        np.testing.assert_allclose(ld_p["t"], ld_x["t"], rtol=2e-3)
+        np.testing.assert_allclose(
+            ld_p["grad_norm"], ld_x["grad_norm"], rtol=5e-3
+        )
+    # the parameters diverge only by kernel-vs-XLA rounding.  Adam normalizes
+    # near-zero grads to full-lr steps, so ANY rounding difference can move a
+    # few isolated elements by up to 2 x (steps x lr) — a per-element max is
+    # inherently flaky.  A systematic gradient bug (e.g. view-packing
+    # scramble) corrupts a large fraction of elements instead, so bound THAT.
+    budget = 3 * tr_x.args.lr
+    drifted = total = 0
+    for a, b in zip(
+        jax.tree.leaves(tr_x.state.params), jax.tree.leaves(tr_p.state.params)
+    ):
+        d = np.abs(np.asarray(b) - np.asarray(a))
+        drifted += int(np.sum(d > 0.25 * budget))
+        total += d.size
+    assert drifted / total < 1e-3, (drifted, total)

@@ -60,6 +60,16 @@ def extra_args(parser):
         "this directory (TensorBoard-viewable; TPU-native analog of the "
         "reference's torch record_function tracing, SURVEY §5.1)",
     )
+    parser.add_argument(
+        "--mlp_impl",
+        type=str,
+        default="auto",
+        choices=("auto", "pallas", "xla"),
+        help="Field-MLP implementation for train steps: 'auto' uses the fused "
+        "VMEM-resident Pallas kernel (forward + custom-VJP backward) on TPU "
+        "and XLA elsewhere; 'pallas' forces the kernel; 'xla' forces the "
+        "plain (memory-bound) XLA MLP",
+    )
     return parser
 
 
@@ -99,8 +109,14 @@ def main():
         )
     )
 
+    # diff_mode keeps every field-kernel input dense (no eval-only deferred
+    # LatentGather/RawCode forms) so the fused MLP is differentiable — the
+    # training analog of the reference's autograd through resnetfc.py:173-236
     net = make_model(
-        conf["model"], stop_encoder_grad=bool(args.freeze_enc)
+        conf["model"],
+        stop_encoder_grad=bool(args.freeze_enc),
+        mlp_impl=args.mlp_impl,
+        diff_mode=True,
     )
     renderer = NeRFRenderer.from_conf(
         conf["renderer"], lindisp=dset.lindisp, eval_batch_size=args.ray_batch_size
