@@ -232,7 +232,14 @@ def setup_scene():
     use_viewdirs = net.conf.get_bool("use_viewdirs", False)
     white_bkgd = conf["renderer"].get_bool("white_bkgd", True)
 
-    ds = SyntheticDataset(n_objs=1, n_views=4, image_size=64)
+    # scene family + source-view count: the published headline is the
+    # "sphere" NS=1 control; scripts/study_scenes.py sweeps the adversarial
+    # kinds (multi3/thin/offcenter/large/cluster) and NS through these knobs
+    scene_kind = os.environ.get("BENCH_SCENE", "sphere")
+    ns = int(os.environ.get("BENCH_NS", 1))
+    ds = SyntheticDataset(
+        n_objs=1, n_views=max(4, ns), image_size=64, scene_kind=scene_kind
+    )
     sample = ds[0]
     focal = np.float32(sample["focal"])
 
@@ -257,8 +264,8 @@ def setup_scene():
 
     scene = net.apply(
         variables,
-        jnp.asarray(sample["images"][None, :1]),
-        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(sample["images"][None, :ns]),
+        jnp.asarray(sample["poses"][None, :ns]),
         jnp.asarray(focal),
         method=PixelNeRFNet.encode,
     )
@@ -311,6 +318,8 @@ def setup_scene():
         conf=conf,
         net=net,
         sample=sample,
+        scene_kind=scene_kind,
+        ns=ns,
         focal=focal,
         variables=variables,
         scene=scene,

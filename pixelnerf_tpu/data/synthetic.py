@@ -71,6 +71,108 @@ def render_sphere_image(
     return np.clip(img, 0.0, 1.0)
 
 
+def render_scene_image(
+    c2w: np.ndarray,
+    width: int,
+    height: int,
+    focal: float,
+    objects,
+    light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.45),
+) -> np.ndarray:
+    """Ray-trace a multi-ellipsoid scene -> (H, W, 3) in [0, 1].
+
+    ``objects`` is a list of dicts {center (3,), radii (3,) or scalar, color,
+    color2}; nearest-hit compositing with the same Lambert shading and camera
+    model as :func:`render_sphere_image`.  Ellipsoids cover the adversarial
+    geometry families the occupancy-grid accel must be validated on (the
+    round-2 numbers were all single-sphere): multi-object scenes, thin
+    rods/plates (chair legs), off-center objects, large-foreground blobs.
+    """
+    cx, cy = width * 0.5, height * 0.5
+    xs = (np.arange(width, dtype=np.float32) - cx) / focal
+    ys = (np.arange(height, dtype=np.float32) - cy) / focal
+    X, Y = np.meshgrid(xs, ys)
+    dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = dirs @ c2w[:3, :3].T
+    o = np.broadcast_to(c2w[:3, 3], d.shape).astype(np.float32)
+
+    l = np.asarray(light_dir, np.float32)
+    l = l / np.linalg.norm(l)
+    img = np.ones((height, width, 3), np.float32)
+    best_t = np.full((height, width), np.inf, np.float32)
+    for obj in objects:
+        ctr = np.asarray(obj["center"], np.float32)
+        radii = np.asarray(obj.get("radii", 0.5), np.float32)
+        if radii.ndim == 0:
+            radii = np.full(3, float(radii), np.float32)
+        # unit-sphere space: scale the ray by 1/radii
+        op = (o - ctr) / radii
+        dp = d / radii
+        a = np.sum(dp * dp, axis=-1)
+        b = np.sum(op * dp, axis=-1)
+        cq = np.sum(op * op, axis=-1) - 1.0
+        disc = b * b - a * cq
+        hit = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0.0))) / np.maximum(a, 1e-12)
+        hit &= (t > 0) & (t < best_t)
+        p = o + t[..., None] * d
+        n = (p - ctr) / (radii**2)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        lam = 0.3 + 0.7 * np.maximum(np.sum(n * l, axis=-1), 0.0)
+        base = np.where(
+            (p[..., :1] > ctr[0]),
+            np.asarray(obj.get("color", (0.8, 0.3, 0.2)), np.float32),
+            np.asarray(obj.get("color2", (0.2, 0.4, 0.9)), np.float32),
+        )
+        shaded = base * lam[..., None]
+        img[hit] = shaded[hit]
+        best_t = np.where(hit, t, best_t)
+    return np.clip(img, 0.0, 1.0)
+
+
+def scene_objects(kind: str, rng: np.random.Generator):
+    """Adversarial scene-family presets (docs/SCENES.md):
+
+    - ``sphere``: the round-2 bench control (one centered sphere)
+    - ``multi3``: three separated spheres of varied size (multi-object)
+    - ``thin``: a chair-like frame — 4 thin legs + a thin plate seat + small
+      back rest; worst case for coarse occupancy grids (sub-voxel structure)
+    - ``offcenter``: one small sphere far off-center (fg fraction ~0.05)
+    - ``large``: a radius-0.7 blob (fg fraction ~0.5+; pruning nearly useless)
+    - ``cluster``: 10 scattered small spheres (fragmented occupancy)
+    """
+    col = lambda: tuple(rng.uniform(0.1, 0.9, 3).tolist())
+    mk = lambda center, radii: dict(
+        center=center, radii=radii, color=col(), color2=col()
+    )
+    if kind == "sphere":
+        return [mk((0.0, 0.0, 0.0), float(rng.uniform(0.35, 0.5)))]
+    if kind == "multi3":
+        return [
+            mk((-0.35, -0.1, 0.25), 0.22),
+            mk((0.35, 0.05, -0.2), 0.3),
+            mk((0.0, 0.33, 0.0), 0.16),
+        ]
+    if kind == "thin":
+        legs = [
+            mk((sx * 0.28, -0.25, sz * 0.28), (0.035, 0.3, 0.035))
+            for sx in (-1, 1)
+            for sz in (-1, 1)
+        ]
+        seat = mk((0.0, 0.04, 0.0), (0.36, 0.035, 0.36))
+        back = mk((0.0, 0.35, -0.3), (0.34, 0.3, 0.03))
+        return legs + [seat, back]
+    if kind == "offcenter":
+        return [mk((0.45, 0.2, -0.3), 0.14)]
+    if kind == "large":
+        return [mk((0.0, 0.0, 0.0), 0.7)]
+    if kind == "cluster":
+        pts = rng.uniform(-0.45, 0.45, size=(10, 3))
+        return [mk(tuple(p.tolist()), float(rng.uniform(0.06, 0.13))) for p in pts]
+    raise ValueError(f"unknown scene kind {kind!r}")
+
+
 def _object_params(rng: np.random.Generator):
     return dict(
         radius=float(rng.uniform(0.35, 0.5)),
@@ -339,7 +441,12 @@ def write_synthetic_multi_obj(
 
 
 class SyntheticDataset(BaseDataset):
-    """In-memory sphere dataset (no disk IO) for fast tests and benchmarks."""
+    """In-memory ray-traced dataset (no disk IO) for fast tests and benchmarks.
+
+    ``scene_kind`` selects a geometry family from :func:`scene_objects`
+    ("sphere" default = the round-2 bench control; "multi3"/"thin"/
+    "offcenter"/"large"/"cluster" are the adversarial accel-validation
+    scenes)."""
 
     def __init__(
         self,
@@ -348,12 +455,14 @@ class SyntheticDataset(BaseDataset):
         image_size: int = 64,
         focal: float = None,
         seed: int = 0,
+        scene_kind: str = "sphere",
     ):
         self.n_objs = n_objs
         self.n_views = n_views
         self.image_size = image_size
         self.focal = focal if focal is not None else 0.85 * image_size
         self.seed = seed
+        self.scene_kind = scene_kind
         self.z_near, self.z_far = 0.8, 1.8
         self.lindisp = False
 
@@ -362,12 +471,21 @@ class SyntheticDataset(BaseDataset):
 
     def __getitem__(self, index: int) -> dict:
         rng = np.random.default_rng(self.seed * 997 + index)
-        params = _object_params(rng)
+        if self.scene_kind == "sphere":
+            params = _object_params(rng)
+            render = lambda pose: render_sphere_image(
+                pose, self.image_size, self.image_size, self.focal, **params
+            )
+        else:
+            objs = scene_objects(self.scene_kind, rng)
+            render = lambda pose: render_scene_image(
+                pose, self.image_size, self.image_size, self.focal, objs
+            )
         poses = _camera_ring(self.n_views, seed=self.seed * 131 + index)
         W = H = self.image_size
         images, masks, bboxes = [], [], []
         for vi in range(self.n_views):
-            img01 = render_sphere_image(poses[vi], W, H, self.focal, **params)
+            img01 = render(poses[vi])
             img = img01 * 2.0 - 1.0
             mask = (~np.all(img01 > 0.996, axis=-1)).astype(np.float32)[..., None]
             images.append(img)

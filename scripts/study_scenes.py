@@ -1,0 +1,151 @@
+"""Accel validation OFF the bench sphere: the adversarial scene family.
+
+Round 2 published every accel number from ONE synthetic sphere at NS=1.  This
+study runs the SAME protocol as bench.py (same scaffold, same quick-train,
+same PSNR >= 30 dB self-gate with the proposal -> rays -> dense ladder, same
+steady-state timing) across the geometry families the occupancy grid can
+plausibly fail on (data.synthetic.scene_objects): multi-object scenes, thin
+rods/plates (chair legs), off-center objects, large-foreground blobs,
+fragmented clusters — and across source-view counts NS in {1, 2, 3}.
+
+Per scene it reports: foreground fraction, grid occupancy fraction,
+grid-build seconds, the mode the gate settled on, proposal-vs-dense PSNR,
+accel and dense rays/s, and the realized speedup.  One JSON line per scene
+on stdout; a markdown table on stderr for docs/SCENES.md.
+
+Run on TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/study_scenes.py
+Env: STUDY_CASES="scene:conf:ns;..." to override, STUDY_TRAIN_STEPS,
+     STUDY_OUT (append JSON lines to a file).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench
+
+# (scene_kind, conf, NS).  NS > 1 needs an in-range combine_layer, so those
+# legs run the srn conf (5 blocks, combine_layer 3); sn64 (the headline conf)
+# has no combine layer and is single-view by construction.
+DEFAULT_CASES = [
+    ("sphere", "sn64", 1),  # round-2 control
+    ("multi3", "sn64", 1),
+    ("thin", "sn64", 1),
+    ("offcenter", "sn64", 1),
+    ("large", "sn64", 1),
+    ("cluster", "sn64", 1),
+    ("sphere", "srn", 2),
+    ("sphere", "srn", 3),
+    ("multi3", "srn", 3),
+]
+
+
+def run_case(scene_kind: str, conf: str, ns: int, train_steps: int) -> dict:
+    import jax
+
+    from pixelnerf_tpu.render.accel import occupancy_fraction
+
+    os.environ["BENCH_SCENE"] = scene_kind
+    os.environ["BENCH_CONF"] = conf
+    os.environ["BENCH_NS"] = str(ns)
+    os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
+    s = bench.setup_scene()
+    row = {"scene": scene_kind, "conf": conf, "ns": ns}
+
+    rgb_dense, fg_frac = s.render_dense_reference()
+    row["fg_frac"] = round(fg_frac, 3)
+
+    # dense steady rate first (also absorbs compile warmup for the ladder's
+    # dense fallback branch)
+    dense_rate, _ = bench.measure_steady(s)
+    row["dense_rays_per_sec"] = round(dense_rate / s.n_chips, 1)
+
+    t0 = time.perf_counter()
+    mode = "proposal"
+    s.pipeline.set_accel_mode(mode)
+    s.pipeline.build_accel(s.variables, s.scene, s.rays, ray_batch_size=s.chunk)
+    row["grid_build_s"] = round(time.perf_counter() - t0, 2)
+    row["occ_frac"] = round(float(occupancy_fraction(s.pipeline.accel)), 4)
+
+    # the bench's self-gate ladder: proposal -> rays -> dense
+    while s.pipeline.accel is not None:
+        rgb_pruned, _ = s.pipeline.render_simple(
+            s.variables, s.scene, s.rays, s.rng, ray_batch_size=s.chunk,
+            pack="u8",
+        )
+        psnr = bench.psnr_vs(rgb_pruned, rgb_dense)
+        row[f"psnr_{mode}"] = round(psnr, 1)
+        if psnr >= 30.0:
+            break
+        if mode == "proposal":
+            mode = "rays"
+            s.pipeline.set_accel_mode(mode)
+        else:
+            s.pipeline.accel = None
+    row["mode"] = mode if s.pipeline.accel is not None else "dense"
+
+    if s.pipeline.accel is not None:
+        s.pipeline.render_simple(
+            s.variables, s.scene, s.rays, s.rng, ray_batch_size=s.chunk,
+            pack="u8",
+        )  # compile warmup for the gated mode
+        rate, _ = bench.measure_steady(s)
+        row["accel_rays_per_sec"] = round(rate / s.n_chips, 1)
+    else:
+        row["accel_rays_per_sec"] = row["dense_rays_per_sec"]
+    row["speedup_vs_dense"] = round(
+        row["accel_rays_per_sec"] / row["dense_rays_per_sec"], 2
+    )
+    return row
+
+
+def main():
+    from pixelnerf_tpu.config.args import enable_compilation_cache
+
+    enable_compilation_cache()
+    cases = DEFAULT_CASES
+    if os.environ.get("STUDY_CASES"):
+        cases = [
+            (k, c, int(n))
+            for k, c, n in (
+                x.split(":") for x in os.environ["STUDY_CASES"].split(";") if x
+            )
+        ]
+    train_steps = int(os.environ.get("STUDY_TRAIN_STEPS", 4000))
+    out_path = os.environ.get("STUDY_OUT")
+
+    rows = []
+    for scene_kind, conf, ns in cases:
+        bench.log(f"=== case {scene_kind} conf={conf} NS={ns} ===")
+        t0 = time.perf_counter()
+        row = run_case(scene_kind, conf, ns, train_steps)
+        row["case_wall_s"] = round(time.perf_counter() - t0, 1)
+        rows.append(row)
+        line = json.dumps(row)
+        print(line, flush=True)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
+
+    # markdown table for docs/SCENES.md
+    cols = [
+        "scene", "conf", "ns", "fg_frac", "occ_frac", "grid_build_s", "mode",
+        "psnr_proposal", "psnr_rays", "accel_rays_per_sec",
+        "dense_rays_per_sec", "speedup_vs_dense",
+    ]
+    bench.log("| " + " | ".join(cols) + " |")
+    bench.log("|" + "---|" * len(cols))
+    for r in rows:
+        bench.log(
+            "| " + " | ".join(str(r.get(c, "—")) for c in cols) + " |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -403,3 +403,51 @@ def test_dtu_adversarial_roundtrip_geometric_oracle(tmp_path):
         mask = d["masks"][vi, ..., 0] > 0.5
         iou = (hit & mask).sum() / max((hit | mask).sum(), 1)
         assert iou > 0.97, (vi, iou)
+
+
+def test_synthetic_scene_family():
+    """The adversarial accel-validation scene kinds render consistently:
+    finite [-1,1] images, masks/bboxes present, and foreground fractions in
+    the band each kind was designed for (docs/SCENES.md)."""
+    from pixelnerf_tpu.data.synthetic import SyntheticDataset
+
+    bands = {
+        "sphere": (0.1, 0.45),
+        "multi3": (0.1, 0.35),
+        "thin": (0.05, 0.3),
+        "offcenter": (0.005, 0.08),
+        "large": (0.5, 0.95),
+        "cluster": (0.05, 0.3),
+    }
+    for kind, (lo, hi) in bands.items():
+        ds = SyntheticDataset(
+            n_objs=1, n_views=3, image_size=48, scene_kind=kind
+        )
+        s = ds[0]
+        assert np.isfinite(s["images"]).all()
+        assert -1.0 <= s["images"].min() and s["images"].max() <= 1.0
+        fg = float(s["masks"].mean())
+        assert lo <= fg <= hi, (kind, fg)
+        assert s["bbox"].shape == (3, 4)
+
+
+def test_render_scene_image_matches_sphere_renderer():
+    """A single centered sphere through the multi-object tracer equals the
+    original single-sphere renderer (same camera model and shading)."""
+    from pixelnerf_tpu.data.synthetic import (
+        render_scene_image,
+        render_sphere_image,
+    )
+    from pixelnerf_tpu.utils.geometry import pose_spherical
+
+    pose = np.asarray(pose_spherical(35.0, -25.0, 1.4))
+    a = render_sphere_image(
+        pose, 48, 48, 40.0, radius=0.42, color=(0.7, 0.2, 0.1),
+        color2=(0.1, 0.4, 0.8),
+    )
+    b = render_scene_image(
+        pose, 48, 48, 40.0,
+        [dict(center=(0, 0, 0), radii=0.42, color=(0.7, 0.2, 0.1),
+              color2=(0.1, 0.4, 0.8))],
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
