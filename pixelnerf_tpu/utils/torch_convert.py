@@ -80,6 +80,44 @@ _RESNET_RULES = [
     ),
 ]
 
+# Fork fusion stack (reference feature_fusion.py:9-147 + attention.py:107-183).
+# Third element: "dense" marks torch 1x1 Conv2d weights that land on flax
+# nn.Dense kernels (the fusion modules here are NHWC and use Dense for every
+# pointwise conv), which need the (O, I, 1, 1) -> (I, O) squeeze.
+_FUSION_RULES = [
+    (
+        re.compile(r"^projections\.(\d+)\.0$"),
+        lambda m: (f"proj_{m.group(1)}",),
+        "dense",
+    ),
+    (
+        re.compile(r"^projections\.(\d+)\.1$"),
+        lambda m: (f"proj_bn_{m.group(1)}",),
+        "conv",
+    ),
+    (re.compile(r"^channel_attention\.1$"), lambda m: ("channel_attn",), "dense"),
+    (re.compile(r"^spatial_attention\.0$"), lambda m: ("spatial_attn",), "conv"),
+    (re.compile(r"^fusion\.0$"), lambda m: ("fusion_conv",), "conv"),
+    (re.compile(r"^fusion\.1$"), lambda m: ("fusion_bn",), "conv"),
+    (
+        re.compile(r"^cbam\.channel_attn\.fc\.0$"),
+        lambda m: ("cbam", "channel_attn", "fc1"),
+        "dense",
+    ),
+    (
+        re.compile(r"^cbam\.channel_attn\.fc\.2$"),
+        lambda m: ("cbam", "channel_attn", "fc2"),
+        "dense",
+    ),
+    (
+        re.compile(r"^cbam\.spatial_attn\.conv$"),
+        lambda m: ("cbam", "spatial_attn", "conv"),
+        "conv",
+    ),
+    (re.compile(r"^enhancement\.0$"), lambda m: ("enhancement",), "dense"),
+]
+
+
 _MLP_RULES = [
     (re.compile(r"^lin_in$"), lambda m: ("lin_in",)),
     (re.compile(r"^lin_out$"), lambda m: ("lin_out",)),
@@ -129,7 +167,8 @@ def convert_pixelnerf(state_dict: Mapping[str, "np.ndarray"]) -> dict:
     """Full reference PixelNeRFNet state dict (backup2 layout) ->
     variables for :class:`pixelnerf_tpu.models.PixelNeRFNet`.
 
-    Handles encoder.model.*, mlp_coarse.*, mlp_fine.*, global_encoder.*; skips the
+    Handles encoder.model.*, mlp_coarse.*, mlp_fine.*, global_encoder.*, and the
+    fork's feature_fusion.* stack (feature_fusion.py:9-147); skips the
     non-persistent camera buffers (poses/image_shape/focal/c) and positional-encoding
     buffers, which are recomputed functionally here.
     """
@@ -144,7 +183,17 @@ def convert_pixelnerf(state_dict: Mapping[str, "np.ndarray"]) -> dict:
             continue
 
         flax_path = None
-        if module_path.startswith("encoder.model."):
+        if module_path.startswith("feature_fusion."):
+            tail = module_path[len("feature_fusion.") :]
+            for rx, builder, kind in _FUSION_RULES:
+                m = rx.match(tail)
+                if m is None:
+                    continue
+                flax_path = ("feature_fusion",) + builder(m)
+                if kind == "dense" and leaf == "weight" and value.ndim == 4:
+                    value = value[:, :, 0, 0]  # (O, I, 1, 1) -> (O, I)
+                break
+        elif module_path.startswith("encoder.model."):
             tail = module_path[len("encoder.model.") :]
             mod = _apply_rules(_RESNET_RULES, tail)
             if mod is not None:

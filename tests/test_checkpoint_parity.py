@@ -79,16 +79,21 @@ info {{ name = ckpt_parity }}
 
 class TorchEncoder(tnn.Module):
     """Reference SpatialEncoder twin: truncated resnet34 trunk named
-    ``model`` (state-dict keys ``encoder.model.*``), unified multi-layer
-    latent via align_corners=True bilinear upsample + channel concat
-    (reference encoder.py:109-136)."""
+    ``model`` (state-dict keys ``encoder.model.*``).  Single-scale mode
+    unifies the multi-layer latent via align_corners=True bilinear upsample +
+    channel concat (reference encoder.py:109-136); ``multi_scale`` returns
+    the raw per-stage pyramid (reference encoder.py:117-127)."""
 
-    def __init__(self):
+    def __init__(self, num_layers=NUM_LAYERS, multi_scale=False):
         super().__init__()
         self.model = TorchResNet34Trunk()
+        self.num_layers = num_layers
+        self.multi_scale = multi_scale
 
     def forward(self, images):  # (NS, 3, H, W) in [-1, 1]
-        feats = self.model(images, use_first_pool=False)[:NUM_LAYERS]
+        feats = self.model(images, use_first_pool=False)[: self.num_layers]
+        if self.multi_scale:
+            return feats
         h0, w0 = feats[0].shape[-2:]
         return torch.cat(
             [
@@ -103,16 +108,135 @@ class TorchEncoder(tnn.Module):
         )
 
 
+# ---------------------------------------------------------------------------
+# Fork fusion twins (reference feature_fusion.py:9-147, attention.py:107-183)
+# with the reference's exact module/state-dict naming.
+# ---------------------------------------------------------------------------
+
+
+class TorchCBAMChannelAttention(tnn.Module):
+    def __init__(self, channels, reduction=16):
+        super().__init__()
+        self.fc = tnn.Sequential(
+            tnn.Conv2d(channels, channels // reduction, 1, bias=False),
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(channels // reduction, channels, 1, bias=False),
+        )
+
+    def forward(self, x):
+        avg = self.fc(F.adaptive_avg_pool2d(x, 1))
+        mx = self.fc(F.adaptive_max_pool2d(x, 1))
+        return x * torch.sigmoid(avg + mx)
+
+
+class TorchCBAMSpatialAttention(tnn.Module):
+    def __init__(self, kernel_size=7):
+        super().__init__()
+        self.conv = tnn.Conv2d(
+            2, 1, kernel_size, padding=kernel_size // 2, bias=False
+        )
+
+    def forward(self, x):
+        mx = torch.max(x, dim=1, keepdim=True)[0]
+        avg = torch.mean(x, dim=1, keepdim=True)
+        return x * torch.sigmoid(self.conv(torch.cat([mx, avg], dim=1)))
+
+
+class TorchCBAM(tnn.Module):
+    def __init__(self, channels):
+        super().__init__()
+        self.channel_attn = TorchCBAMChannelAttention(channels)
+        self.spatial_attn = TorchCBAMSpatialAttention()
+
+    def forward(self, x):
+        return self.spatial_attn(self.channel_attn(x))
+
+
+class TorchSmartFusion(tnn.Module):
+    """SmartFeatureFusion twin (reference feature_fusion.py:9-147): per-scale
+    1x1 proj + BN + ReLU, half-pixel bilinear upsample to the finest map,
+    channel-softmax x spatial-softmax scale attention, 3x3 fusion conv + BN +
+    ReLU, CBAM, 1x1 enhancement."""
+
+    def __init__(self, layer_dims, output_dim=512):
+        super().__init__()
+        n = len(layer_dims)
+        pd = output_dim // n
+        self.projections = tnn.ModuleList(
+            [
+                tnn.Sequential(
+                    tnn.Conv2d(d, pd, 1),
+                    tnn.BatchNorm2d(pd),
+                    tnn.ReLU(inplace=True),
+                    tnn.Identity(),
+                )
+                for d in layer_dims
+            ]
+        )
+        self.channel_attention = tnn.Sequential(
+            tnn.AdaptiveAvgPool2d(1),
+            tnn.Conv2d(output_dim, n, 1),
+            tnn.Softmax(dim=1),
+        )
+        self.spatial_attention = tnn.Sequential(
+            tnn.Conv2d(output_dim, n, 7, padding=3), tnn.Softmax(dim=1)
+        )
+        self.cbam = TorchCBAM(output_dim)
+        self.fusion = tnn.Sequential(
+            tnn.Conv2d(output_dim, output_dim, 3, padding=1),
+            tnn.BatchNorm2d(output_dim),
+            tnn.ReLU(inplace=True),
+            tnn.Identity(),
+        )
+        self.enhancement = tnn.Sequential(
+            tnn.Conv2d(output_dim, output_dim, 1), tnn.ReLU(inplace=True)
+        )
+
+    def forward(self, features_list):
+        target_size = features_list[0].shape[2:]
+        projected = []
+        for feat, proj in zip(features_list, self.projections):
+            y = proj(feat)
+            if y.shape[2:] != target_size:
+                y = F.interpolate(
+                    y, size=target_size, mode="bilinear", align_corners=False
+                )
+            projected.append(y)
+        concat = torch.cat(projected, dim=1)
+
+        cw = self.channel_attention(concat)  # (B, N, 1, 1)
+        sw = self.spatial_attention(concat)  # (B, N, H, W)
+        combined = cw * sw
+        weighted = [
+            feat * combined[:, i : i + 1] for i, feat in enumerate(projected)
+        ]
+        concat = torch.cat(weighted, dim=1)
+
+        fused = self.fusion(concat)
+        fused = self.cbam(fused)
+        return self.enhancement(fused)
+
+
 class TorchPixelNeRF(tnn.Module):
     """Trainable torch PixelNeRF with backup2 semantics and the reference's
-    state-dict layout (encoder.model.*, mlp_coarse.*)."""
+    state-dict layout (encoder.model.*, mlp_coarse.*, mlp_fine.*)."""
 
-    def __init__(self, d_latent):
+    def __init__(self, d_latent, use_fine=False, num_layers=NUM_LAYERS,
+                 fusion=None):
         super().__init__()
         d_code = 3 * (2 * NUM_FREQS + 1)
-        self.encoder = TorchEncoder()
+        self.encoder = TorchEncoder(
+            num_layers=num_layers, multi_scale=fusion is not None
+        )
+        if fusion is not None:
+            self.feature_fusion = fusion  # state-dict keys feature_fusion.*
         self.mlp_coarse = TorchResnetFC(
             d_code + 3, d_latent, D_HIDDEN, N_BLOCKS, COMBINE_LAYER
+        )
+        self.mlp_fine = (
+            TorchResnetFC(d_code + 3, d_latent, D_HIDDEN, N_BLOCKS, COMBINE_LAYER)
+            if use_fine
+            else None
         )
         freqs = FREQ_FACTOR * 2.0 ** torch.arange(NUM_FREQS, dtype=torch.float32)
         self.register_buffer("code_freqs", freqs, persistent=False)
@@ -121,13 +245,15 @@ class TorchPixelNeRF(tnn.Module):
     def encode(self, images, poses, focal, c, image_hw):
         """images (NS,3,H,W); poses (NS,4,4) camera-to-world."""
         latent = self.encoder(images)
+        if isinstance(latent, list):  # fusion path (reference models.py:197-201)
+            latent = self.feature_fusion(latent)
         rot = poses[:, :3, :3].transpose(1, 2)  # w2c (backup2:121-123)
         trans = -torch.bmm(rot, poses[:, :3, 3:])
         self._scene = dict(
             latent=latent, rot=rot, trans=trans, focal=focal, c=c, hw=image_hw
         )
 
-    def forward(self, xyz, viewdirs):
+    def forward(self, xyz, viewdirs, coarse=True):
         """xyz (B,3) world points; viewdirs (B,3).  -> (B,4) rgb+sigma."""
         s = self._scene
         rot, trans = s["rot"], s["trans"]
@@ -158,16 +284,16 @@ class TorchPixelNeRF(tnn.Module):
 
         NS, B, _ = mlp_x.shape
         zx = torch.cat([z_lat, mlp_x], dim=-1).reshape(NS * B, -1)
-        out = self.mlp_coarse(zx, (NS, B))[0]  # (B,4)
+        # fine MLP when present and coarse=False (backup2:265-270)
+        mlp = self.mlp_coarse if coarse or self.mlp_fine is None else self.mlp_fine
+        out = mlp(zx, (NS, B))[0]  # (B,4)
         return torch.cat(
             [torch.sigmoid(out[:, :3]), F.relu(out[:, 3:])], dim=-1
         )
 
 
-def torch_render(model, rays, n_coarse, rng=None):
-    """Coarse stratified volume render (reference nerf.py:98-118,163-249):
-    white background, far-boundary delta, 1e-10 transmittance guard."""
-    rays = torch.as_tensor(rays, dtype=torch.float32)
+def torch_sample_coarse(rays, n_coarse, rng=None):
+    """Stratified coarse z (reference nerf.py:98-118)."""
     B = rays.shape[0]
     near, far = rays[:, 6:7], rays[:, 7:8]
     step = 1.0 / n_coarse
@@ -176,11 +302,19 @@ def torch_render(model, rays, n_coarse, rng=None):
         z_steps = z_steps + torch.rand(B, n_coarse, generator=rng) * step
     else:
         z_steps = z_steps + 0.5 * step
-    z = near + (far - near) * z_steps  # (B,K)
+    return near + (far - near) * z_steps  # (B,K)
 
+
+def torch_composite(model, rays, z, coarse=True):
+    """Alpha-composite at given z (reference nerf.py:163-249): white
+    background, far-boundary delta, 1e-10 transmittance guard.
+    -> (weights (B,K), rgb (B,3), depth (B))."""
+    B, K = z.shape
+    far = rays[:, 7:8]
     pts = rays[:, None, :3] + z[..., None] * rays[:, None, 3:6]
-    dirs = rays[:, None, 3:6].expand(-1, n_coarse, -1)
-    out = model(pts.reshape(-1, 3), dirs.reshape(-1, 3)).reshape(B, n_coarse, 4)
+    dirs = rays[:, None, 3:6].expand(-1, K, -1)
+    out = model(pts.reshape(-1, 3), dirs.reshape(-1, 3), coarse=coarse)
+    out = out.reshape(B, K, 4)
     rgb, sigma = out[..., :3], out[..., 3]
 
     deltas = torch.cat([z[:, 1:] - z[:, :-1], far - z[:, -1:]], dim=1)
@@ -190,8 +324,50 @@ def torch_render(model, rays, n_coarse, rng=None):
     )[:, :-1]
     w = alpha * T
     rgb_final = (w[..., None] * rgb).sum(dim=1)
+    depth = (w * z).sum(dim=1)
     pix_alpha = w.sum(dim=1)
-    return rgb_final + 1.0 - pix_alpha[..., None]  # white background
+    return w, rgb_final + 1.0 - pix_alpha[..., None], depth  # white bkgd
+
+
+def torch_render(model, rays, n_coarse, rng=None):
+    """Coarse-only stratified volume render."""
+    rays = torch.as_tensor(rays, dtype=torch.float32)
+    z = torch_sample_coarse(rays, n_coarse, rng)
+    return torch_composite(model, rays, z, coarse=True)[1]
+
+
+def torch_render_full(
+    model, rays, n_coarse, n_fine, n_fine_depth, depth_std, rng
+):
+    """Composed coarse+fine render mirroring NeRFRenderer.forward
+    (reference nerf.py:250-298): stratified coarse pass, weight-CDF
+    importance samples (nerf.py:120-148), depth-centered Gaussian samples
+    (nerf.py:150-161), union sorted with z_coarse, fine composite.
+    -> (rgb_coarse (B,3), rgb_fine (B,3))."""
+    rays = torch.as_tensor(rays, dtype=torch.float32)
+    B = rays.shape[0]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    z_coarse = torch_sample_coarse(rays, n_coarse, rng)
+    w, rgb_coarse, depth_c = torch_composite(model, rays, z_coarse, coarse=True)
+
+    samps = [z_coarse]
+    if n_fine - n_fine_depth > 0:
+        weights = w.detach() + 1e-5
+        pdf = weights / weights.sum(-1, keepdim=True)
+        cdf = torch.cumsum(pdf, -1)
+        cdf = torch.cat([torch.zeros_like(cdf[:, :1]), cdf], -1)
+        u = torch.rand(B, n_fine - n_fine_depth, generator=rng)
+        inds = torch.searchsorted(cdf, u, right=True).float() - 1.0
+        inds = torch.clamp_min(inds, 0.0)
+        z_steps = (inds + torch.rand(B, n_fine - n_fine_depth, generator=rng)) / n_coarse
+        samps.append(near * (1 - z_steps) + far * z_steps)
+    if n_fine_depth > 0:
+        z = depth_c.detach().unsqueeze(1).repeat(1, n_fine_depth)
+        z = z + torch.randn(B, n_fine_depth, generator=rng) * depth_std
+        samps.append(torch.max(torch.min(z, far), near))
+    z_all = torch.sort(torch.cat(samps, dim=-1), dim=-1)[0]
+    _, rgb_fine, _ = torch_composite(model, rays, z_all, coarse=False)
+    return rgb_coarse, rgb_fine
 
 
 def _psnr(a, b):
@@ -199,83 +375,90 @@ def _psnr(a, b):
     return -10.0 * np.log10(max(mse, 1e-12))
 
 
-@pytest.mark.slow
-def test_torch_checkpoint_roundtrip_render_parity(tmp_path, monkeypatch):
-    torch.manual_seed(0)
-    data_dir = write_synthetic_dvr(
-        str(tmp_path / "data"), n_objs=2, n_views=6, image_size=32
-    )
-    dset = get_split_dataset("dvr", data_dir, want_split="test", training=False)
-    data = dset[0]
-    images = data["images"]  # (NV,H,W,3) in [-1,1]
-    poses = data["poses"]
-    focal = float(np.asarray(data["focal"]))
-    c = data.get("c")
-    NV, H, W, _ = images.shape
-    c_np = (
-        np.asarray(c, np.float32)
-        if c is not None
-        else np.array([W * 0.5, H * 0.5], np.float32)
-    )
-    src_views = [0, 1]
-    tgt_views = [v for v in range(NV) if v not in src_views]
+class Fixture:
+    """Synthetic DVR fixture + torch-tensor views of it."""
 
-    d_latent = 64 + 64 + 128
-    model = TorchPixelNeRF(d_latent)
+    def __init__(self, tmp_path, n_views=6, image_size=32, src_views=(0, 1)):
+        self.data_dir = write_synthetic_dvr(
+            str(tmp_path / "data"), n_objs=2, n_views=n_views,
+            image_size=image_size,
+        )
+        dset = get_split_dataset(
+            "dvr", self.data_dir, want_split="test", training=False
+        )
+        data = dset[0]
+        self.images = data["images"]  # (NV,H,W,3) in [-1,1]
+        self.poses = data["poses"]
+        self.focal = float(np.asarray(data["focal"]))
+        c = data.get("c")
+        NV, H, W, _ = self.images.shape
+        self.NV, self.H, self.W = NV, H, W
+        self.c_np = (
+            np.asarray(c, np.float32)
+            if c is not None
+            else np.array([W * 0.5, H * 0.5], np.float32)
+        )
+        self.src_views = list(src_views)
+        self.tgt_views = [v for v in range(NV) if v not in self.src_views]
+        z_near, z_far = float(dset.z_near), float(dset.z_far)
+        all_rays = geometry.gen_rays_np(
+            self.poses, W, H, self.focal, z_near, z_far, c=self.c_np
+        )
+        self.all_rays = np.asarray(all_rays).reshape(NV, H * W, 8)
+        self.gt01 = self.images.reshape(NV, H * W, 3) * 0.5 + 0.5
+        self.timgs = torch.from_numpy(
+            np.transpose(self.images[self.src_views], (0, 3, 1, 2))
+        ).float()
+        self.tposes = torch.from_numpy(self.poses[self.src_views]).float()
+        self.tfocal = torch.tensor(self.focal)
+        self.tc = torch.from_numpy(self.c_np)
 
-    timgs = torch.from_numpy(
-        np.transpose(images[src_views], (0, 3, 1, 2))
-    ).float()
-    tposes = torch.from_numpy(poses[src_views]).float()
-    tfocal = torch.tensor(focal)
-    tc = torch.from_numpy(c_np)
+    def encode(self, model):
+        model.encode(self.timgs, self.tposes, self.tfocal, self.tc,
+                     (self.H, self.W))
 
-    # ---- genuine training on the fixture (few hundred steps) ----
-    z_near, z_far = float(dset.z_near), float(dset.z_far)
-    all_rays = geometry.gen_rays_np(poses, W, H, focal, z_near, z_far, c=c_np)
-    all_rays = np.asarray(all_rays).reshape(NV, H * W, 8)
-    gt01 = images.reshape(NV, H * W, 3) * 0.5 + 0.5
 
-    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+def _train_torch(model, fx, render_step, n_steps, lr=1e-3, n_rays=96):
+    """Genuinely train ``model`` on the fixture; ``render_step(rays, gen)``
+    returns a list of (B,3) predictions, all L2-matched to the target."""
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
     host = np.random.default_rng(0)
     gen = torch.Generator().manual_seed(1)
     model.train()
-    n_steps = int(os.environ.get("PARITY_TRAIN_STEPS", 300))
     for it in range(n_steps):
-        vi = host.integers(0, NV)
-        pix = host.integers(0, H * W, 96)
-        rays = all_rays[vi, pix]
-        target = torch.from_numpy(gt01[vi, pix]).float()
-        model.encode(timgs, tposes, tfocal, tc, (H, W))
-        pred = torch_render(model, rays, n_coarse=20, rng=gen)
-        loss = F.mse_loss(pred, target)
+        vi = host.integers(0, fx.NV)
+        pix = host.integers(0, fx.H * fx.W, n_rays)
+        rays = fx.all_rays[vi, pix]
+        target = torch.from_numpy(fx.gt01[vi, pix]).float()
+        fx.encode(model)
+        loss = sum(F.mse_loss(p, target) for p in render_step(rays, gen))
         opt.zero_grad()
         loss.backward()
         opt.step()
-    final_loss = float(loss)
-    assert final_loss < 0.05, final_loss  # must have actually learned
+    return float(loss.detach())
 
-    # ---- torch-side eval render of every target view ----
+
+def _eval_torch(model, fx, render_view):
+    """Render every target view with ``render_view(rays, gen) -> (B,3)``;
+    -> (renders [HxWx3], mean PSNR vs GT)."""
     model.eval()
-    n_coarse_eval = 48
-    torch_renders, torch_psnrs = [], []
+    renders, psnrs = [], []
     with torch.no_grad():
-        model.encode(timgs, tposes, tfocal, tc, (H, W))
-        for vi in tgt_views:
+        fx.encode(model)
+        for vi in fx.tgt_views:
+            gen = torch.Generator().manual_seed(100 + vi)
             chunks = [
-                torch_render(
-                    model, all_rays[vi, s : s + 4096], n_coarse_eval,
-                    rng=torch.Generator().manual_seed(100 + vi),
-                )
-                for s in range(0, H * W, 4096)
+                render_view(fx.all_rays[vi, s : s + 4096], gen)
+                for s in range(0, fx.H * fx.W, 4096)
             ]
-            r = torch.cat(chunks).numpy().reshape(H, W, 3).clip(0, 1)
-            torch_renders.append(r)
-            torch_psnrs.append(_psnr(r, gt01[vi].reshape(H, W, 3)))
-    psnr_torch = float(np.mean(torch_psnrs))
+            r = torch.cat(chunks).numpy().reshape(fx.H, fx.W, 3).clip(0, 1)
+            renders.append(r)
+            psnrs.append(_psnr(r, fx.gt01[vi].reshape(fx.H, fx.W, 3)))
+    return renders, float(np.mean(psnrs))
 
-    # ---- save the REAL torch checkpoint in the reference layout ----
-    name = "parity"
+
+def _save_checkpoint(tmp_path, model, name):
+    """Save the REAL torch checkpoint in the reference layout."""
     ckpt_root = tmp_path / "checkpoints"
     ckpt_dir = ckpt_root / name
     ckpt_dir.mkdir(parents=True)
@@ -283,18 +466,21 @@ def test_torch_checkpoint_roundtrip_render_parity(tmp_path, monkeypatch):
     assert any(k.startswith("encoder.model.") for k in sd)
     assert any(k.startswith("mlp_coarse.") for k in sd)
     torch.save(sd, ckpt_dir / "pixel_nerf_latest")
+    return ckpt_root
 
-    # ---- replay through the converter + full eval CLI ----
-    conf_path = tmp_path / "parity.conf"
-    conf_path.write_text(CONF_TEXT)
-    out_dir = tmp_path / "eval_out"
+
+def _run_eval_cli(tmp_path, monkeypatch, fx, conf_text, name, ckpt_root):
+    """Converter + full eval CLI replay; -> (psnr_jax, [render HxWx3])."""
+    conf_path = tmp_path / f"{name}.conf"
+    conf_path.write_text(conf_text)
+    out_dir = tmp_path / f"eval_out_{name}"
     argv = [
         "-n", name,
         "-c", str(conf_path),
-        "-D", data_dir,
+        "-D", fx.data_dir,
         "-F", "dvr",
         "--split", "test",
-        "-P", " ".join(map(str, src_views)),
+        "-P", " ".join(map(str, fx.src_views)),
         "-O", str(out_dir),
         "-R", "8192",
         "--max_objs", "1",
@@ -308,7 +494,6 @@ def test_torch_checkpoint_roundtrip_render_parity(tmp_path, monkeypatch):
     finish = (out_dir / "finish.txt").read_text().split()
     psnr_jax = float(finish[1])
 
-    # per-view pixel comparison of the CLI's written renders vs torch's
     obj_dirs = [d for d in os.listdir(out_dir) if (out_dir / d).is_dir()]
     assert len(obj_dirs) == 1
     import imageio.v2 as imageio
@@ -318,19 +503,173 @@ def test_torch_checkpoint_roundtrip_render_parity(tmp_path, monkeypatch):
         for f in os.listdir(out_dir / obj_dirs[0])
         if f.endswith(".png") and "depth" not in f and "compare" not in f
     )
-    assert len(views) == len(tgt_views), views
-    cross = []
-    for fname, tr in zip(views, torch_renders):
+    assert len(views) == len(fx.tgt_views), views
+    renders = []
+    for fname in views:
         jr = imageio.imread(out_dir / obj_dirs[0] / fname).astype(np.float32)
-        jr = jr[..., :3] / 255.0
-        cross.append(_psnr(jr, tr))
-    cross_psnr = float(np.mean(cross))
+        renders.append(jr[..., :3] / 255.0)
+    return psnr_jax, renders
 
+
+def _assert_parity(label, psnr_jax, psnr_torch, jax_renders, torch_renders,
+                   final_loss):
+    cross = [_psnr(jr, tr) for jr, tr in zip(jax_renders, torch_renders)]
+    cross_psnr = float(np.mean(cross))
     print(
-        f"parity: torch {psnr_torch:.3f} dB, jax {psnr_jax:.3f} dB, "
+        f"{label}: torch {psnr_torch:.3f} dB, jax {psnr_jax:.3f} dB, "
         f"cross {cross_psnr:.1f} dB, train loss {final_loss:.4f}"
     )
     # the BASELINE.md gate: checkpoint-level quality parity within 0.1 dB
     assert abs(psnr_jax - psnr_torch) <= 0.1, (psnr_jax, psnr_torch)
     # and the renders must be the SAME images, not coincidentally-equal PSNRs
     assert cross_psnr >= 35.0, cross
+
+
+@pytest.mark.slow
+def test_torch_checkpoint_roundtrip_render_parity(tmp_path, monkeypatch):
+    torch.manual_seed(0)
+    fx = Fixture(tmp_path)
+    d_latent = 64 + 64 + 128
+    model = TorchPixelNeRF(d_latent)
+
+    n_steps = int(os.environ.get("PARITY_TRAIN_STEPS", 300))
+    final_loss = _train_torch(
+        model, fx,
+        lambda rays, gen: [torch_render(model, rays, n_coarse=20, rng=gen)],
+        n_steps,
+    )
+    assert final_loss < 0.05, final_loss  # must have actually learned
+
+    torch_renders, psnr_torch = _eval_torch(
+        model, fx, lambda rays, gen: torch_render(model, rays, 48, rng=gen)
+    )
+    ckpt_root = _save_checkpoint(tmp_path, model, "parity")
+    psnr_jax, jax_renders = _run_eval_cli(
+        tmp_path, monkeypatch, fx, CONF_TEXT, "parity", ckpt_root
+    )
+    _assert_parity(
+        "parity", psnr_jax, psnr_torch, jax_renders, torch_renders, final_loss
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fine-head variant: the composed importance-sampling render path every real
+# eval uses (reference nerf.py:284-298) replayed from a real torch checkpoint
+# with a SEPARATE fine MLP (mlp_fine.* state-dict keys).
+# ---------------------------------------------------------------------------
+
+N_COARSE_FINE_EVAL = 48
+N_FINE, N_FINE_DEPTH = 24, 8
+FINE_CONF_TEXT = CONF_TEXT.replace(
+    "mlp_fine { type = empty }",
+    f"""mlp_fine {{ type = resnet
+ n_blocks = {N_BLOCKS}
+ d_hidden = {D_HIDDEN}
+ combine_layer = {COMBINE_LAYER}
+ combine_type = average }}""",
+).replace(
+    "n_fine = 0",
+    f"n_fine = {N_FINE}",
+).replace(
+    "n_fine_depth = 0",
+    f"n_fine_depth = {N_FINE_DEPTH}",
+)
+
+
+# ---------------------------------------------------------------------------
+# Fusion fork variant: multi-scale encoder + SmartFeatureFusion (CBAM, scale
+# attention) replayed from a real torch checkpoint (VERDICT r2 next #4).
+# 512 must divide evenly by the scale count (reference feature_fusion.py:36
+# projects to output_dim // N and concatenates back to output_dim), so this
+# variant runs num_layers = 4.
+# ---------------------------------------------------------------------------
+
+FUSION_LAYERS = 4
+FUSION_LAYER_DIMS = [64, 64, 128, 256]
+FUSION_CONF_TEXT = CONF_TEXT.replace(
+    "    use_viewdirs = True",
+    "    use_viewdirs = True\n    use_smart_fusion = True\n"
+    "    fusion_type = attention\n    use_cbam = True\n"
+    "    fusion_dropout = 0.0",
+).replace(
+    f"num_layers = {NUM_LAYERS}",
+    f"num_layers = {FUSION_LAYERS}\n use_multi_scale = True",
+)
+
+
+@pytest.mark.slow
+def test_torch_checkpoint_fusion_parity(tmp_path, monkeypatch):
+    """Checkpoint-level parity through the multiscale-fusion fork: the torch
+    twin carries the reference's exact feature_fusion.* state-dict layout
+    (projections/channel_attention/spatial_attention/fusion/cbam/enhancement),
+    is genuinely trained, saved, converted (the _FUSION_RULES mapping), and
+    replayed through the eval CLI with use_smart_fusion enabled."""
+    torch.manual_seed(0)
+    fx = Fixture(tmp_path)
+    model = TorchPixelNeRF(
+        512,
+        num_layers=FUSION_LAYERS,
+        fusion=TorchSmartFusion(FUSION_LAYER_DIMS, output_dim=512),
+    )
+    sd = model.state_dict()
+    assert any(k.startswith("feature_fusion.projections.") for k in sd)
+    assert any(k.startswith("feature_fusion.cbam.channel_attn.fc.") for k in sd)
+
+    n_steps = int(os.environ.get("PARITY_TRAIN_STEPS", 300))
+    final_loss = _train_torch(
+        model, fx,
+        lambda rays, gen: [torch_render(model, rays, n_coarse=20, rng=gen)],
+        n_steps,
+    )
+    assert final_loss < 0.05, final_loss
+
+    torch_renders, psnr_torch = _eval_torch(
+        model, fx, lambda rays, gen: torch_render(model, rays, 48, rng=gen)
+    )
+    ckpt_root = _save_checkpoint(tmp_path, model, "parity_fusion")
+    psnr_jax, jax_renders = _run_eval_cli(
+        tmp_path, monkeypatch, fx, FUSION_CONF_TEXT, "parity_fusion", ckpt_root
+    )
+    _assert_parity(
+        "fusion parity", psnr_jax, psnr_torch, jax_renders, torch_renders,
+        final_loss,
+    )
+
+
+@pytest.mark.slow
+def test_torch_checkpoint_fine_head_parity(tmp_path, monkeypatch):
+    """Fine-path checkpoint parity: torch model with a separate fine MLP,
+    trained on both heads (reference train.py rgb_coarse + rgb_fine losses),
+    saved, converted, and replayed through the eval CLI's composed
+    coarse->importance->fine render (VERDICT r2 missing #3)."""
+    torch.manual_seed(0)
+    fx = Fixture(tmp_path)
+    d_latent = 64 + 64 + 128
+    model = TorchPixelNeRF(d_latent, use_fine=True)
+    assert any(k.startswith("mlp_fine.") for k in model.state_dict())
+
+    def train_step(rays, gen):
+        return torch_render_full(
+            model, rays, n_coarse=16, n_fine=12, n_fine_depth=4,
+            depth_std=0.01, rng=gen,
+        )
+
+    n_steps = int(os.environ.get("PARITY_TRAIN_STEPS", 300))
+    final_loss = _train_torch(model, fx, train_step, n_steps)
+    assert final_loss < 0.1, final_loss  # sum of coarse+fine losses
+
+    torch_renders, psnr_torch = _eval_torch(
+        model, fx,
+        lambda rays, gen: torch_render_full(
+            model, rays, N_COARSE_FINE_EVAL, N_FINE, N_FINE_DEPTH,
+            depth_std=0.01, rng=gen,
+        )[1],
+    )
+    ckpt_root = _save_checkpoint(tmp_path, model, "parity_fine")
+    psnr_jax, jax_renders = _run_eval_cli(
+        tmp_path, monkeypatch, fx, FINE_CONF_TEXT, "parity_fine", ckpt_root
+    )
+    _assert_parity(
+        "fine parity", psnr_jax, psnr_torch, jax_renders, torch_renders,
+        final_loss,
+    )
