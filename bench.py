@@ -27,7 +27,9 @@ datacenter GPU, backed by the measured + FLOP-derived estimate in
 docs/BASELINE_MEASUREMENT.md (scripts/measure_baseline.py).
 
 Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
-BENCH_ACCEL=0 (dense timing), BENCH_TRAIN_STEPS=0 (random-init model).
+BENCH_ACCEL=0 (dense timing), BENCH_TRAIN_STEPS=0 (random-init model),
+BENCH_SCENE/BENCH_NS (scene family, source views), BENCH_HW="76x100"
+(non-square frame), BENCH_WHITE_BKGD (compositing override).
 """
 
 import json
@@ -47,7 +49,8 @@ def log(*a):
 
 
 def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
-                white_bkgd: bool = True):
+                white_bkgd: bool = True, z_near: float = 0.8,
+                z_far: float = 1.8):
     """Overfit the scene for a few hundred steps so sigma is object-like.
 
     ``net`` should be built with ``diff_mode=True``: training rides the fused
@@ -121,10 +124,22 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # trip ~steps times (measured ~0.6 s/step through the tunnel).  Uniform
     # pixel sampling: with sigma noise it reaches loss ~0.12 by 1000 steps
     # (bbox-alternated batches measured DIVERGENT at this lr)
-    host_rng = np.random.default_rng(7)
+    host_rng = np.random.default_rng(int(os.environ.get("BENCH_TRAIN_SEED", 7)))
+    # BENCH_TRAIN_BBOX_FRAC: leading fraction of steps sampled inside the
+    # foreground bbox (the reference's bbox-guided warmup, train.py:251-256 /
+    # no_bbox_step) — small-foreground scenes (multi-object, off-center)
+    # otherwise see so few object rays that training collapses to the
+    # all-white solution.  0 = uniform only (the sphere-tuned round-2 recipe).
+    bbox_frac = float(os.environ.get("BENCH_TRAIN_BBOX_FRAC", "0"))
+    bbox_data = dict(data, bbox=sample["bbox"][None]) if bbox_frac else data
+    use_bbox = host_rng.random(steps) < bbox_frac  # interleaved, not a block:
+    # background rays must keep carving while bbox batches feed the object
     batches = [
-        prepare_ray_batch(data, 1, 1024, 0.8, 1.8, False, host_rng)
-        for _ in range(steps)
+        prepare_ray_batch(
+            bbox_data if use_bbox[i] else data, 1, 1024, z_near, z_far,
+            bool(use_bbox[i]), host_rng,
+        )
+        for i in range(steps)
     ]
     rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
     gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
@@ -134,9 +149,21 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         if k not in ("rays", "rgb_gt")
     }
 
-    # sigma noise off (the positive bias init replaces it; the noise_scale
-    # ramp stays a traced argument so schedules need no recompile)
-    noise_T = jnp.zeros((steps,), jnp.float32)
+    # sigma noise off by default (the positive bias init replaces it; the
+    # noise_scale ramp stays a traced argument so schedules need no
+    # recompile).  BENCH_TRAIN_NOISE > 0 turns the linear anneal back on —
+    # multi-object / fragmented scenes need the noise to keep gradient
+    # flowing through sub-threshold density while the background carves.
+    noise0 = float(os.environ.get("BENCH_TRAIN_NOISE", "0"))
+    if noise0 > 0:
+        ramp_end = int(0.6 * steps)
+        noise_T = noise0 * jnp.clip(
+            1.0 - jnp.arange(steps, dtype=jnp.float32) / max(ramp_end, 1),
+            0.0,
+            1.0,
+        )
+    else:
+        noise_T = jnp.zeros((steps,), jnp.float32)
 
     @jax.jit
     def run(state, rays_T, gt_T, noise_T, key):
@@ -206,7 +233,7 @@ def setup_scene():
     variables, encoded scene, pipeline, video-pass rays.
 
     Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
-    BENCH_TRAIN_STEPS.
+    BENCH_TRAIN_STEPS, BENCH_SCENE, BENCH_NS, BENCH_HW, BENCH_WHITE_BKGD.
     """
     import jax
     import jax.numpy as jnp
@@ -231,14 +258,25 @@ def setup_scene():
     net = make_model(conf["model"], mlp_impl=mlp_impl)
     use_viewdirs = net.conf.get_bool("use_viewdirs", False)
     white_bkgd = conf["renderer"].get_bool("white_bkgd", True)
+    # the synthetic tracer renders white backgrounds; BENCH_WHITE_BKGD=1
+    # keeps compositing consistent with the scene when a conf (e.g. dtu)
+    # defaults black — one flag, identical compute cost
+    if os.environ.get("BENCH_WHITE_BKGD"):
+        white_bkgd = os.environ["BENCH_WHITE_BKGD"] != "0"
 
     # scene family + source-view count: the published headline is the
     # "sphere" NS=1 control; scripts/study_scenes.py sweeps the adversarial
-    # kinds (multi3/thin/offcenter/large/cluster) and NS through these knobs
+    # kinds (multi3/thin/offcenter/large/cluster) and NS through these knobs.
+    # BENCH_HW="76x100" (HxW) sets a non-square frame — the DTU 0.25-scale
+    # acceptance shape (/root/reference/README.md:99 "quite slow" full-res).
     scene_kind = os.environ.get("BENCH_SCENE", "sphere")
     ns = int(os.environ.get("BENCH_NS", 1))
+    if os.environ.get("BENCH_HW"):
+        H, W = (int(x) for x in os.environ["BENCH_HW"].split("x"))
+    else:
+        H = W = 64
     ds = SyntheticDataset(
-        n_objs=1, n_views=max(4, ns), image_size=64, scene_kind=scene_kind
+        n_objs=1, n_views=max(4, ns), image_size=(H, W), scene_kind=scene_kind
     )
     sample = ds[0]
     focal = np.float32(sample["focal"])
@@ -259,7 +297,7 @@ def setup_scene():
         train_net = make_model(conf["model"], mlp_impl=mlp_impl, diff_mode=True)
         variables = quick_train(
             train_net, variables, sample, focal, use_viewdirs, train_steps,
-            white_bkgd=white_bkgd,
+            white_bkgd=white_bkgd, z_near=ds.z_near, z_far=ds.z_far,
         )
 
     scene = net.apply(
@@ -272,6 +310,12 @@ def setup_scene():
 
     # reference renderer defaults: 64 coarse + (16 importance + 16 depth) fine
     renderer = NeRFRenderer.from_conf(conf["renderer"], eval_batch_size=1_000_000)
+    if renderer.base_cfg.white_bkgd != white_bkgd:
+        import dataclasses
+
+        renderer.base_cfg = dataclasses.replace(
+            renderer.base_cfg, white_bkgd=white_bkgd
+        )
     # measured: matmul rate is dtype-independent on this part and the casts
     # cost ~5%, so f32 inputs are the default (the fused kernel computes in
     # bf16 with f32 accumulation regardless)
@@ -291,16 +335,16 @@ def setup_scene():
         compute_dtype=jnp.bfloat16 if use_bf16 else None,
     )
 
-    # video rays: 16 frames of 64x64 = 65,536 rays per timed pass
+    # video rays: 16 frames (64x64 default = 65,536 rays per timed pass)
     poses = np.stack(
         [
             geometry.pose_spherical(a, -15.0, 1.3)
             for a in np.linspace(-180, 180, 17)[:-1]
         ]
     )
-    rays = geometry.gen_rays_np(poses, 64, 64, float(focal), 0.8, 1.8).reshape(
-        -1, 8
-    )
+    rays = geometry.gen_rays_np(
+        poses, W, H, float(focal), ds.z_near, ds.z_far
+    ).reshape(-1, 8)
     # -R semantics: upper bound on the device-side ray chunk; the pipeline
     # renders the whole pass in ONE dispatch (lax.map over chunks on device)
     # and, under pruning, auto-sizes the chunk within this bound from the

@@ -100,6 +100,24 @@ def extra_args(parser):
         "off: the quality-parity eval composites every sample like the "
         "reference",
     )
+    parser.add_argument(
+        "--accel_build",
+        type=str,
+        default="fast",
+        choices=["fast", "full"],
+        help="Per-object grid-build budget: 'fast' probes a 64^3 grid under "
+        "one view direction (~13x fewer field probes — the per-object cost "
+        "that dominates full-split --accel evals), 'full' the 96^3/4-probe "
+        "build gen_video uses (one grid amortized over a whole video)",
+    )
+    parser.add_argument(
+        "--no_accel_gate",
+        action="store_true",
+        help="Skip the per-object self-gate (first target view rendered "
+        "dense AND pruned; < 30 dB steps down proposal -> rays -> dense). "
+        "The gate costs ~2 extra view renders per object and makes --accel "
+        "quality-safe for metric runs",
+    )
     return parser
 
 
@@ -127,7 +145,13 @@ def main():
             "it cannot be combined with --coarse"
         )
     use_accel = args.accel != "off"
-    if use_accel and jax.default_backend() == "cpu":
+    # PIXELNERF_ACCEL_CPU_OK=1: tests exercise the accel+gate path on the
+    # CPU backend (where it is a slowdown, never a correctness issue)
+    if (
+        use_accel
+        and jax.default_backend() == "cpu"
+        and os.environ.get("PIXELNERF_ACCEL_CPU_OK", "0") != "1"
+    ):
         print(
             f"WARNING: --accel {args.accel} ignored on the CPU backend "
             "(the grid build is a large field-probe pass that only pays "
@@ -301,11 +325,54 @@ def main():
         rng, obj_rng = jax.random.split(rng)
         if use_accel:
             # per-object grid: one field-probe pass amortized over all of the
-            # object's target views
+            # object's target views.  --accel_build fast trades grid
+            # resolution/probe count for ~13x less build compute — at
+            # full-split scale (8762 NMR objects) the build, not the render,
+            # dominates --accel wall clock.
+            pipeline.set_accel_mode(args.accel)
+            build_kw = (
+                dict(resolution=64, n_dir_probes=1)
+                if args.accel_build == "fast"
+                else {}
+            )
             pipeline.build_accel(
                 variables, scene, all_rays,
                 ray_batch_size=args.ray_batch_size,
+                **build_kw,
             )
+            if not args.no_accel_gate and pipeline.accel is not None:
+                # per-object self-gate (gen_video's frame-0 ladder): the
+                # first target view rendered dense and pruned with the same
+                # key; < 30 dB steps down proposal -> rays -> dense so a
+                # grid that misrepresents THIS field can't poison metrics
+                view0 = all_rays[: H * W]
+                rng0 = jax.random.PRNGKey(11)
+                grid = pipeline.accel
+                pipeline.accel = None
+                rgb_d, _ = pipeline.render_simple(
+                    variables, scene, view0, rng0,
+                    ray_batch_size=args.ray_batch_size,
+                )
+                pipeline.accel = grid
+                mode = args.accel
+                while pipeline.accel is not None:
+                    rgb_p, _ = pipeline.render_simple(
+                        variables, scene, view0, rng0,
+                        ray_batch_size=args.ray_batch_size,
+                    )
+                    mse = float(np.mean((rgb_p - rgb_d) ** 2))
+                    gate_psnr = -10.0 * np.log10(max(mse, 1e-12))
+                    if gate_psnr >= 30.0:
+                        break
+                    if mode == "proposal":
+                        mode = "rays"
+                        pipeline.set_accel_mode(mode)
+                    else:
+                        pipeline.accel = None
+                print(
+                    f"  accel gate: {gate_psnr:.1f} dB -> "
+                    f"{mode if pipeline.accel is not None else 'dense'}"
+                )
         all_rgb, all_depth = pipeline.render_simple(
             variables, scene, all_rays, obj_rng, ray_batch_size=args.ray_batch_size
         )

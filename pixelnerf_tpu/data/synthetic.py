@@ -446,24 +446,41 @@ class SyntheticDataset(BaseDataset):
     ``scene_kind`` selects a geometry family from :func:`scene_objects`
     ("sphere" default = the round-2 bench control; "multi3"/"thin"/
     "offcenter"/"large"/"cluster" are the adversarial accel-validation
-    scenes)."""
+    scenes).  ``image_size`` is a square side or an (H, W) pair — the DTU
+    acceptance shape (76, 100) is non-square."""
 
     def __init__(
         self,
         n_objs: int = 4,
         n_views: int = 8,
-        image_size: int = 64,
+        image_size=64,
         focal: float = None,
         seed: int = 0,
         scene_kind: str = "sphere",
     ):
         self.n_objs = n_objs
         self.n_views = n_views
-        self.image_size = image_size
-        self.focal = focal if focal is not None else 0.85 * image_size
+        if isinstance(image_size, (tuple, list)):
+            self.height, self.width = int(image_size[0]), int(image_size[1])
+        else:
+            self.height = self.width = int(image_size)
+        self.image_size = max(self.height, self.width)
+        self.focal = focal if focal is not None else 0.85 * min(
+            self.height, self.width
+        )
         self.seed = seed
         self.scene_kind = scene_kind
-        self.z_near, self.z_far = 0.8, 1.8
+        # depth span must cover the scene family: the centered sphere fits
+        # [0.8, 1.8] from the radius-1.4 camera ring (the round-2 bench
+        # operating point, kept for comparability), but the adversarial
+        # scenes place objects up to ~0.95 from the origin (scene_objects) —
+        # depths 0.45..2.35 — and clipping them makes GT pixels that no
+        # sample along the ray can explain (training collapses to the
+        # all-white plateau; measured on multi3/offcenter).
+        if scene_kind == "sphere":
+            self.z_near, self.z_far = 0.8, 1.8
+        else:
+            self.z_near, self.z_far = 0.45, 2.4
         self.lindisp = False
 
     def __len__(self) -> int:
@@ -474,15 +491,15 @@ class SyntheticDataset(BaseDataset):
         if self.scene_kind == "sphere":
             params = _object_params(rng)
             render = lambda pose: render_sphere_image(
-                pose, self.image_size, self.image_size, self.focal, **params
+                pose, self.width, self.height, self.focal, **params
             )
         else:
             objs = scene_objects(self.scene_kind, rng)
             render = lambda pose: render_scene_image(
-                pose, self.image_size, self.image_size, self.focal, objs
+                pose, self.width, self.height, self.focal, objs
             )
         poses = _camera_ring(self.n_views, seed=self.seed * 131 + index)
-        W = H = self.image_size
+        H, W = self.height, self.width
         images, masks, bboxes = [], [], []
         for vi in range(self.n_views):
             img01 = render(poses[vi])

@@ -30,9 +30,13 @@ import numpy as np
 
 import bench
 
-# (scene_kind, conf, NS).  NS > 1 needs an in-range combine_layer, so those
-# legs run the srn conf (5 blocks, combine_layer 3); sn64 (the headline conf)
-# has no combine layer and is single-view by construction.
+# (scene_kind, conf, NS[, HxW]).  NS > 1 needs an in-range combine_layer, so
+# those legs run the srn conf (5 blocks, combine_layer 3); sn64 (the headline
+# conf) has no combine layer and is single-view by construction.  The last
+# row is the DTU 3-view acceptance shape (0.25 scale, 76x100, NS=3, dtu conf
+# = default_mv 5-block/512 combine-3 MLPs) — the reference's "quite slow"
+# operating point (/root/reference/README.md:99); white-bkgd override keeps
+# compositing consistent with the white-background synthetic tracer.
 DEFAULT_CASES = [
     ("sphere", "sn64", 1),  # round-2 control
     ("multi3", "sn64", 1),
@@ -43,10 +47,50 @@ DEFAULT_CASES = [
     ("sphere", "srn", 2),
     ("sphere", "srn", 3),
     ("multi3", "srn", 3),
+    ("sphere", "dtu", 3, "76x100"),
 ]
 
 
-def run_case(scene_kind: str, conf: str, ns: int, train_steps: int) -> dict:
+def _traced_gt(s):
+    """Trace the scene's analytic ground truth at the bench video poses."""
+    from pixelnerf_tpu.data.synthetic import (
+        _object_params,
+        render_scene_image,
+        render_sphere_image,
+        scene_objects,
+    )
+    from pixelnerf_tpu.utils import geometry
+
+    H, W = s.sample["images"].shape[1:3]
+    rng = np.random.default_rng(0)  # SyntheticDataset(seed=0)[0]'s stream
+    if s.scene_kind == "sphere":
+        params = _object_params(rng)
+        tracer = lambda p: render_sphere_image(
+            p, W, H, float(s.focal), **params
+        )
+    else:
+        objs = scene_objects(s.scene_kind, rng)
+        tracer = lambda p: render_scene_image(p, W, H, float(s.focal), objs)
+    poses = np.stack(
+        [
+            geometry.pose_spherical(a, -15.0, 1.3)
+            for a in np.linspace(-180, 180, 17)[:-1]
+        ]
+    )
+    return np.stack([tracer(p) for p in poses]).reshape(-1, 3)
+
+
+def _psnr_vs_traced_gt(s, rgb_dense) -> float:
+    return bench.psnr_vs(rgb_dense, _traced_gt(s))
+
+
+def _traced_gt_fg(s) -> float:
+    gt = _traced_gt(s)
+    return float(np.mean(np.abs(gt - 1.0).max(axis=-1) > 0.08))
+
+
+def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
+             hw: str = "") -> dict:
     import jax
 
     from pixelnerf_tpu.render.accel import occupancy_fraction
@@ -55,11 +99,26 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int) -> dict:
     os.environ["BENCH_CONF"] = conf
     os.environ["BENCH_NS"] = str(ns)
     os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
+    if hw:
+        os.environ["BENCH_HW"] = hw
+        os.environ["BENCH_WHITE_BKGD"] = "1"
+    else:
+        os.environ.pop("BENCH_HW", None)
+        os.environ.pop("BENCH_WHITE_BKGD", None)
     s = bench.setup_scene()
-    row = {"scene": scene_kind, "conf": conf, "ns": ns}
+    row = {"scene": scene_kind, "conf": conf, "ns": ns, "hw": hw or "64x64"}
 
     rgb_dense, fg_frac = s.render_dense_reference()
     row["fg_frac"] = round(fg_frac, 3)
+
+    # self-evidencing row: score the dense render against the TRACED ground
+    # truth at the video poses (the scene tracer renders any pose) — a row
+    # whose field never learned the scene (all-background collapse) must say
+    # so, not publish a vacuous speedup over empty space
+    row["psnr_dense_gt"] = round(_psnr_vs_traced_gt(s, rgb_dense), 1)
+    row["trained"] = bool(
+        fg_frac >= 0.5 * _traced_gt_fg(s) - 0.01 and fg_frac > 0.0
+    )
 
     # dense steady rate first (also absorbs compile warmup for the ladder's
     # dense fallback branch)
@@ -71,6 +130,15 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int) -> dict:
     s.pipeline.set_accel_mode(mode)
     s.pipeline.build_accel(s.variables, s.scene, s.rays, ray_batch_size=s.chunk)
     row["grid_build_s"] = round(time.perf_counter() - t0, 2)
+    if s.pipeline.accel is None:
+        # the build itself stepped down (grid nearly fully occupied — e.g.
+        # the "large" family, where pruning has nothing to prune): the
+        # outermost safety rung, a legitimate terminal outcome
+        row["occ_frac"] = 1.0
+        row["mode"] = "dense(build)"
+        row["accel_rays_per_sec"] = row["dense_rays_per_sec"]
+        row["speedup_vs_dense"] = 1.0
+        return row
     row["occ_frac"] = round(float(occupancy_fraction(s.pipeline.accel)), 4)
 
     # the bench's self-gate ladder: proposal -> rays -> dense
@@ -102,6 +170,34 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int) -> dict:
     row["speedup_vs_dense"] = round(
         row["accel_rays_per_sec"] / row["dense_rays_per_sec"], 2
     )
+
+    # eval --accel_build fast (eval.py): the 64^3 / 1-dir-probe build that
+    # full-split metric evals amortize per OBJECT rather than per video —
+    # quality-qualify it with the same proposal-vs-dense gate
+    t0 = time.perf_counter()
+    s.pipeline.set_accel_mode("proposal")
+    s.pipeline.build_accel(
+        s.variables, s.scene, s.rays, resolution=64, n_dir_probes=1,
+        ray_batch_size=s.chunk,
+    )
+    row["grid_build_fast_s"] = round(time.perf_counter() - t0, 2)
+    # steady-state fast build (program already compiled) — the cost every
+    # object AFTER the first pays in a full-split eval --accel run
+    if s.pipeline.accel is not None:
+        t0 = time.perf_counter()
+        s.pipeline.build_accel(
+            s.variables, s.scene, s.rays, resolution=64, n_dir_probes=1,
+            ray_batch_size=s.chunk,
+        )
+        row["grid_build_fast_steady_s"] = round(time.perf_counter() - t0, 2)
+    if s.pipeline.accel is not None:
+        rgb_fast, _ = s.pipeline.render_simple(
+            s.variables, s.scene, s.rays, s.rng, ray_batch_size=s.chunk,
+            pack="u8",
+        )
+        row["psnr_proposal_fastbuild"] = round(
+            bench.psnr_vs(rgb_fast, rgb_dense), 1
+        )
     return row
 
 
@@ -112,8 +208,8 @@ def main():
     cases = DEFAULT_CASES
     if os.environ.get("STUDY_CASES"):
         cases = [
-            (k, c, int(n))
-            for k, c, n in (
+            (p[0], p[1], int(p[2]), *p[3:4])
+            for p in (
                 x.split(":") for x in os.environ["STUDY_CASES"].split(";") if x
             )
         ]
@@ -121,10 +217,11 @@ def main():
     out_path = os.environ.get("STUDY_OUT")
 
     rows = []
-    for scene_kind, conf, ns in cases:
-        bench.log(f"=== case {scene_kind} conf={conf} NS={ns} ===")
+    for scene_kind, conf, ns, *rest in cases:
+        hw = rest[0] if rest else ""
+        bench.log(f"=== case {scene_kind} conf={conf} NS={ns} {hw} ===")
         t0 = time.perf_counter()
-        row = run_case(scene_kind, conf, ns, train_steps)
+        row = run_case(scene_kind, conf, ns, train_steps, hw=hw)
         row["case_wall_s"] = round(time.perf_counter() - t0, 1)
         rows.append(row)
         line = json.dumps(row)
@@ -135,9 +232,10 @@ def main():
 
     # markdown table for docs/SCENES.md
     cols = [
-        "scene", "conf", "ns", "fg_frac", "occ_frac", "grid_build_s", "mode",
-        "psnr_proposal", "psnr_rays", "accel_rays_per_sec",
-        "dense_rays_per_sec", "speedup_vs_dense",
+        "scene", "conf", "ns", "hw", "fg_frac", "trained", "psnr_dense_gt",
+        "occ_frac", "grid_build_s", "mode", "psnr_proposal", "psnr_rays",
+        "accel_rays_per_sec", "dense_rays_per_sec", "speedup_vs_dense",
+        "grid_build_fast_s", "psnr_proposal_fastbuild",
     ]
     bench.log("| " + " | ".join(cols) + " |")
     bench.log("|" + "---|" * len(cols))

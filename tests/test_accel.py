@@ -842,3 +842,78 @@ def test_autoselect_chunk_from_point_budget():
     pipe = make("proposal")
     pipe._autoselect_capacity(rays, ray_batch_size=4096)
     assert pipe.accel_chunk is None
+
+
+def test_eval_accel_metric_delta_vs_dense():
+    """eval --accel quality at the METRICS level (VERDICT r2 next #6): on a
+    gate-passing scene, the PSNR/SSIM an accel'd eval reports against GT must
+    match the dense eval's to <= 0.1 dB / 1e-3 SSIM — the bound that makes
+    --accel safe for full-split metric runs (the reference's "full SRN eval
+    takes many days" pain point, /root/reference/README.md:162).
+
+    GT must sit at a REALISTIC distance from the render: real evals score a
+    trained model ~20-30 dB from ground truth, while the accel perturbation
+    is ~40 dB down — the metric delta is what the 40 dB perturbation does to
+    a ~20 dB measurement.  (Scoring against a converged render of the SAME
+    field inverts that regime — model error ~52 dB < perturbation — and the
+    delta balloons to the full perturbation, which no real eval would see.)
+    GT here is a converged render of a slightly different sphere (radius and
+    color offset, ~20 dB of "model error"); dense and proposal-accel renders
+    are scored against it with the SAME psnr/ssim calc_metrics uses
+    (utils.metrics, calc_metrics.py map step)."""
+    from pixelnerf_tpu.utils import metrics as M
+
+    from pixelnerf_tpu.data.synthetic import _camera_ring
+    from pixelnerf_tpu.utils import geometry
+
+    # two coherent VIEWS (ssim is local-window statistics — it needs real
+    # images, not scattered rays reshaped into one)
+    H = W = 24
+    poses = _camera_ring(2, seed=9)
+    rays = np.asarray(
+        geometry.gen_rays_np(poses, W, H, 0.85 * W, 0.8, 2.0)
+    ).reshape(-1, 8)
+    grid = build_sphere_grid(rays, resolution=48)
+
+    def gt_field(points, viewdirs, coarse):
+        r2 = jnp.sum(points * points, axis=-1)
+        inside = (r2 < 0.37 * 0.37).astype(points.dtype)
+        rgb = 0.5 + 0.5 * jnp.tanh(points + 0.15)
+        sigma = SIGMA_IN * inside
+        return jnp.concatenate(
+            [jnp.transpose(rgb, (0, 2, 1)), sigma[:, None, :]], axis=1
+        )
+
+    gt_cfg = RenderConfig(
+        n_coarse=128, n_fine=32, n_fine_depth=16, white_bkgd=True
+    )
+    cfg = RenderConfig(n_coarse=32, n_fine=8, n_fine_depth=4, white_bkgd=True)
+    prop = RenderConfig(
+        n_coarse=32, n_fine=8, n_fine_depth=4, white_bkgd=True,
+        accel_mode="proposal",
+    )
+
+    gt = np.asarray(
+        jax.jit(
+            lambda r, k: render_rays(
+                gt_field, r, k, gt_cfg, use_viewdirs=False
+            )
+        )(jnp.asarray(rays[None]), jax.random.PRNGKey(3))["fine"]["rgb"]
+    ).reshape(2, H, W, 3)
+    dense = _render(rays, cfg)["fine"]["rgb"].reshape(2, H, W, 3)
+    accel = _render(rays, prop, accel=grid)["fine"]["rgb"].reshape(2, H, W, 3)
+
+    # the scene must actually PASS the self-gate (>= 30 dB accel vs dense) —
+    # otherwise the CLI ladder would have stepped down and the comparison
+    # below would be vacuous
+    gate = -10.0 * np.log10(
+        max(float(np.mean((accel - dense) ** 2)), 1e-12)
+    )
+    assert gate >= 30.0, gate
+
+    d_psnr = np.mean([M.psnr(dense[i], gt[i]) for i in range(2)])
+    a_psnr = np.mean([M.psnr(accel[i], gt[i]) for i in range(2)])
+    d_ssim = np.mean([M.ssim(dense[i], gt[i], data_range=1.0) for i in range(2)])
+    a_ssim = np.mean([M.ssim(accel[i], gt[i], data_range=1.0) for i in range(2)])
+    assert abs(d_psnr - a_psnr) <= 0.1, (d_psnr, a_psnr)
+    assert abs(d_ssim - a_ssim) <= 1e-3, (d_ssim, a_ssim)
