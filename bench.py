@@ -104,8 +104,14 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # slightly-sub-zero pre-relu surface sigma that rendered through the noise
     # dies the same relu death (also measured); a linear ramp keeps pushing
     # it up as the noise shrinks.
+    # BENCH_TRAIN_COARSE: training-time coarse samples/ray.  32 matches the
+    # round-2 sphere recipe (z span 1.0 -> 0.031 spacing); wide-span scenes
+    # (adversarial families, z 0.45-2.4) need ~2x the samples to keep the
+    # same spacing or the field under-resolves (measured: sphere at the wide
+    # span drops 35 dB -> 10.6 dB at 32 samples).
     cfg = RenderConfig(
-        n_coarse=32, n_fine=8, n_fine_depth=8, white_bkgd=white_bkgd,
+        n_coarse=int(os.environ.get("BENCH_TRAIN_COARSE", 32)),
+        n_fine=8, n_fine_depth=8, white_bkgd=white_bkgd,
         noise_std=1.0,
     )
     train_step, _ = make_step_fns(
@@ -275,8 +281,14 @@ def setup_scene():
         H, W = (int(x) for x in os.environ["BENCH_HW"].split("x"))
     else:
         H = W = 64
+    # BENCH_Z="near:far" overrides the scene family's depth span (z-span /
+    # sample-spacing ablations — scripts/study_scenes.py)
+    z_range = None
+    if os.environ.get("BENCH_Z"):
+        z_range = tuple(float(x) for x in os.environ["BENCH_Z"].split(":"))
     ds = SyntheticDataset(
-        n_objs=1, n_views=max(4, ns), image_size=(H, W), scene_kind=scene_kind
+        n_objs=1, n_views=max(4, ns), image_size=(H, W),
+        scene_kind=scene_kind, z_range=z_range,
     )
     sample = ds[0]
     focal = np.float32(sample["focal"])

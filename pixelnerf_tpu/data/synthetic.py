@@ -457,6 +457,7 @@ class SyntheticDataset(BaseDataset):
         focal: float = None,
         seed: int = 0,
         scene_kind: str = "sphere",
+        z_range=None,
     ):
         self.n_objs = n_objs
         self.n_views = n_views
@@ -477,7 +478,9 @@ class SyntheticDataset(BaseDataset):
         # depths 0.45..2.35 — and clipping them makes GT pixels that no
         # sample along the ray can explain (training collapses to the
         # all-white plateau; measured on multi3/offcenter).
-        if scene_kind == "sphere":
+        if z_range is not None:
+            self.z_near, self.z_far = float(z_range[0]), float(z_range[1])
+        elif scene_kind == "sphere":
             self.z_near, self.z_far = 0.8, 1.8
         else:
             self.z_near, self.z_far = 0.45, 2.4

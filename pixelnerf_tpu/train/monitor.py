@@ -81,8 +81,8 @@ class TrainingMonitor:
         previous = self.all_psnrs[-patience * 2 : -patience]
         improvement = float(np.mean(recent) - np.mean(previous))
         if improvement < threshold:
-            print("WARNING: Training might have converged!")
-            print(f"   Recent improvement: {improvement:.4f} dB")
-            print("   Consider reducing learning rate or stopping.")
+            print("warning: PSNR has plateaued — training looks converged")
+            print(f"   improvement over the last window: {improvement:.4f} dB")
+            print("   consider lowering the learning rate or stopping early")
             return True
         return False
