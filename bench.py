@@ -114,17 +114,28 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         n_fine=8, n_fine_depth=8, white_bkgd=white_bkgd,
         noise_std=1.0,
     )
+    # BENCH_TRAIN_ALPHA: weight of the mask-supervised pixel-alpha loss
+    # (trainer.make_step_fns lambda_alpha_mask).  The RGB loss alone cannot
+    # escape the all-transparent minimum on small/scattered-foreground
+    # white-background scenes (multi3/offcenter collapse to an all-white
+    # render under EVERY swept knob: lr, steps, noise anneal, bbox warmup,
+    # 2x coarse samples); supervising accumulated alpha with the dataset
+    # mask pushes sigma up exactly where the objects are.
+    lambda_alpha_mask = float(os.environ.get("BENCH_TRAIN_ALPHA", "0"))
     train_step, _ = make_step_fns(
         net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs,
         # the fused kernel's custom VJP recomputes in VMEM — outer remat
         # would only add a redundant forward replay (docs/PERFORMANCE.md)
         remat=not net.field_backward_in_kernel(1),
+        lambda_alpha_mask=lambda_alpha_mask,
     )
     data = {
         "images": sample["images"][None],
         "poses": sample["poses"][None],
         "focal": np.asarray([focal], np.float32),
     }
+    if lambda_alpha_mask > 0:
+        data["masks"] = sample["masks"][None]
     # pre-generate every ray batch on the host, then run ALL steps in one
     # lax.scan dispatch — per-step dispatches pay the device-tunnel round
     # trip ~steps times (measured ~0.6 s/step through the tunnel).  Uniform

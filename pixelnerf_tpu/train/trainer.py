@@ -68,7 +68,8 @@ def prepare_ray_batch(
     :param data: collated batch (images (SB,NV,H,W,3) in [-1,1], poses, focal,
         optional c/bbox)
     :return: dict with src_images (SB,NS,H,W,3), src_poses, focal, c, rays
-        (SB,R,8), rgb_gt (SB,R,3)
+        (SB,R,8), rgb_gt (SB,R,3), and mask_gt (SB,R) when the batch carries
+        per-view masks (all shipped dataset adapters do)
     """
     if "images" not in data:
         return None
@@ -80,7 +81,7 @@ def prepare_ray_batch(
     all_c = data.get("c")
 
     src_images, src_poses = [], []
-    all_rays, all_rgb_gt = [], []
+    all_rays, all_rgb_gt, all_mask_gt = [], [], []
     for obj_idx in range(SB):
         images = all_images[obj_idx]
         poses = all_poses[obj_idx]
@@ -108,6 +109,12 @@ def prepare_ray_batch(
         all_rgb_gt.append(
             images[pix[:, 0], pix[:, 1], pix[:, 2]] * 0.5 + 0.5
         )
+        if "masks" in data:
+            all_mask_gt.append(
+                np.asarray(data["masks"][obj_idx])[
+                    pix[:, 0], pix[:, 1], pix[:, 2], 0
+                ]
+            )
         all_rays.append(
             geometry.gen_rays_at_np(poses, W, H, focal, z_near, z_far, pix, c=c)
         )
@@ -123,6 +130,8 @@ def prepare_ray_batch(
     }
     if all_c is not None:
         batch["c"] = np.asarray(all_c, np.float32)
+    if all_mask_gt:
+        batch["mask_gt"] = np.stack(all_mask_gt).astype(np.float32)
     return batch
 
 
@@ -143,6 +152,7 @@ def make_step_fns(
     amp: bool = True,
     remat: bool = True,
     alpha_crit=None,
+    lambda_alpha_mask: float = 0.0,
 ):
     """Build jitted (train_step, eval_step).  ``amp=True`` keeps TPU-default
     bf16 matmuls (the AMP equivalent); False forces fp32 everywhere.
@@ -150,7 +160,15 @@ def make_step_fns(
     ``alpha_crit`` optionally adds the Neural-Volumes alpha prior
     (models.losses.AlphaLossNV2, reference loss.py:4-37) on the fine head's
     pixel alpha; its epoch gate is evaluated at BUILD time (the Trainer
-    rebuilds the step when the gate flips — one extra compile)."""
+    rebuilds the step when the gate flips — one extra compile).
+    ``lambda_alpha_mask`` > 0 adds mask-supervised pixel alpha (MSE between
+    each head's accumulated alpha and the dataset's foreground mask, conf
+    ``loss.lambda_alpha_mask``) when the batch carries ``mask_gt``.  A
+    deliberate extension over the reference (PARITY.md): white-background
+    scenes with small or scattered foreground otherwise fall into the
+    all-transparent local minimum the RGB loss alone cannot escape
+    (collapse to an all-background render; measured on the multi-object
+    synthetic families at the reference's own lr)."""
     # training/eval batches are small (ray_batch_size rays); inner point
     # chunking (sized for huge eval renders) would only serialize the MXU
     render_cfg = dataclasses.replace(render_cfg, eval_batch_size=0)
@@ -253,12 +271,13 @@ def make_step_fns(
             and alpha_crit.lambda_alpha > 0.0
             and alpha_crit.epoch >= alpha_crit.init_epoch
         )
+        mask_active = lambda_alpha_mask > 0.0 and "mask_gt" in batch
         out = render_rays(
             field,
             batch["rays"],
             rng_render,
             render_cfg,
-            want_weights=alpha_active,
+            want_weights=alpha_active or mask_active,
             training=training,
             use_viewdirs=use_viewdirs,
             noise_scale=noise_scale,
@@ -271,6 +290,17 @@ def make_step_fns(
             loss_f = rgb_fine_crit(out["fine"]["rgb"], rgb_gt)
             loss = loss + loss_f * lambda_fine
             loss_dict["rf"] = loss_f * lambda_fine
+        if mask_active:
+            mask_gt = batch["mask_gt"]
+            loss_am = jnp.mean(
+                (jnp.sum(out["coarse"]["weights"], -1) - mask_gt) ** 2
+            ) * lambda_coarse
+            if "fine" in out:
+                loss_am = loss_am + jnp.mean(
+                    (jnp.sum(out["fine"]["weights"], -1) - mask_gt) ** 2
+                ) * lambda_fine
+            loss = loss + lambda_alpha_mask * loss_am
+            loss_dict["am"] = lambda_alpha_mask * loss_am
         if alpha_active:
             head = out["fine"] if "fine" in out else out["coarse"]
             pix_alpha = jnp.sum(head["weights"], axis=-1)
@@ -653,6 +683,12 @@ class Trainer:
             crit_a = get_alpha_loss(loss_conf["alpha"])
             if crit_a.lambda_alpha > 0.0:
                 self.alpha_crit = crit_a
+        # mask-supervised pixel alpha (our extension — see make_step_fns)
+        self.lambda_alpha_mask = (
+            loss_conf.get_float("lambda_alpha_mask", 0.0)
+            if loss_conf is not None
+            else 0.0
+        )
 
         self.mesh = mesh
         self.use_viewdirs = net.conf.get_bool("use_viewdirs", False)
@@ -669,6 +705,7 @@ class Trainer:
             amp=self.use_amp,
             remat=self.remat,
             alpha_crit=self.alpha_crit,
+            lambda_alpha_mask=self.lambda_alpha_mask,
         )
         if mesh is not None:
             self._train_step, self._eval_step = self._shard_steps(
@@ -781,6 +818,8 @@ class Trainer:
         }
         if "c" in batch:
             out["c"] = sh(batch["c"], "data")
+        if "mask_gt" in batch:
+            out["mask_gt"] = sh(batch["mask_gt"], "rays")
         return out
 
     def _shard_steps(self, train_step, eval_step):
@@ -831,6 +870,7 @@ class Trainer:
                 amp=self.use_amp,
                 remat=self.remat,
                 alpha_crit=self.alpha_crit,
+                lambda_alpha_mask=self.lambda_alpha_mask,
             )
             if self.mesh is not None:
                 self._train_step, self._eval_step = self._shard_steps(

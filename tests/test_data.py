@@ -431,6 +431,34 @@ def test_synthetic_scene_family():
         assert s["bbox"].shape == (3, 4)
 
 
+def test_synthetic_z_span_covers_scene_family():
+    """The per-family depth span must contain every object's depth range from
+    every ring camera (clipped spans make GT pixels no sample can explain —
+    the all-white training collapse), and z_range= must override it."""
+    from pixelnerf_tpu.data.synthetic import (
+        SyntheticDataset,
+        _camera_ring,
+        scene_objects,
+    )
+
+    for kind in ("multi3", "thin", "offcenter", "large", "cluster"):
+        ds = SyntheticDataset(n_objs=1, n_views=6, scene_kind=kind)
+        rng = np.random.default_rng(0 * 997 + 0)
+        objs = scene_objects(kind, rng)
+        poses = _camera_ring(6, seed=0 * 131 + 0)
+        for pose in poses:
+            cam = np.asarray(pose[:3, 3])
+            for obj in objs:
+                ctr = np.asarray(obj["center"], np.float32)
+                r = float(np.max(np.asarray(obj.get("radii", 0.5))))
+                d = float(np.linalg.norm(ctr - cam))
+                assert ds.z_near <= d - r + 1e-6, (kind, d - r, ds.z_near)
+                assert d + r <= ds.z_far + 1e-6, (kind, d + r, ds.z_far)
+
+    ds = SyntheticDataset(n_objs=1, scene_kind="multi3", z_range=(0.6, 2.2))
+    assert (ds.z_near, ds.z_far) == (0.6, 2.2)
+
+
 def test_render_scene_image_matches_sphere_renderer():
     """A single centered sphere through the multi-object tracer equals the
     original single-sphere renderer (same camera model and shading)."""

@@ -177,6 +177,50 @@ def test_alpha_prior_epoch_gated(tmp_path):
     )
 
 
+def test_mask_supervised_alpha_loss(tmp_path):
+    """loss.lambda_alpha_mask > 0 adds mask-supervised pixel alpha ('am'
+    term) through the Trainer: prepare_ray_batch carries the sampled mask,
+    the term is finite and included in the total, and its gradient pushes
+    accumulated alpha toward the mask (our anti-collapse extension for
+    small-foreground white-background scenes — see make_step_fns)."""
+    conf = hocon.parse_string(
+        TINY_CONF.replace("loss {", "loss {\n    lambda_alpha_mask = 1.0")
+    )
+    net = make_model(conf["model"])
+    ds = SyntheticDataset(n_objs=2, n_views=4, image_size=24)
+    renderer = NeRFRenderer.from_conf(conf["renderer"])
+    sample = ds[0]
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample["images"][None, :1]),
+        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(np.float32(sample["focal"])),
+        jnp.zeros((1, 4, 3), jnp.float32),
+        jnp.zeros((1, 4, 3), jnp.float32),
+    )
+    trainer = Trainer(net, variables, ds, ds, renderer, _Args(str(tmp_path)), conf)
+    assert trainer.lambda_alpha_mask == 1.0
+    data = collate([ds[0]])
+
+    # the sampled-ray batch carries the per-ray mask
+    batch = prepare_ray_batch(
+        data, 1, 32, ds.z_near, ds.z_far, False, np.random.default_rng(0)
+    )
+    assert batch["mask_gt"].shape == (1, 32)
+    assert set(np.unique(batch["mask_gt"])) <= {0.0, 1.0}
+
+    ams = []
+    for _ in range(6):
+        ld = trainer.train_step(data)
+        trainer.global_step += 1
+        assert "am" in ld and np.isfinite(ld["am"])
+        np.testing.assert_allclose(
+            ld["t"], ld["rc"] + ld.get("rf", 0.0) + ld["am"], rtol=1e-5
+        )
+        ams.append(float(ld["am"]))
+    assert min(ams[-2:]) < ams[0], ams  # alpha moves toward the mask
+
+
 def test_eval_step_and_vis_free(tmp_path):
     conf, net, ds, renderer, variables, args, trainer = _build(tmp_path)
     data = collate([ds[0]])
