@@ -15,7 +15,7 @@ on stdout; a markdown table on stderr for docs/SCENES.md.
 
 Run on TPU:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/study_scenes.py
-Env: STUDY_CASES="scene:conf:ns;..." to override, STUDY_TRAIN_STEPS,
+Env: STUDY_CASES="scene:conf:ns[:hw[:K=V,K=V]];..." to override, STUDY_TRAIN_STEPS,
      STUDY_OUT (append JSON lines to a file).
 """
 
@@ -30,25 +30,42 @@ import numpy as np
 
 import bench
 
-# (scene_kind, conf, NS[, HxW]).  NS > 1 needs an in-range combine_layer, so
-# those legs run the srn conf (5 blocks, combine_layer 3); sn64 (the headline
-# conf) has no combine layer and is single-view by construction.  The last
-# row is the DTU 3-view acceptance shape (0.25 scale, 76x100, NS=3, dtu conf
-# = default_mv 5-block/512 combine-3 MLPs) — the reference's "quite slow"
-# operating point (/root/reference/README.md:99); white-bkgd override keeps
-# compositing consistent with the white-background synthetic tracer.
+# (scene_kind, conf, NS[, HxW[, {env overrides}]]).  NS > 1 needs an in-range
+# combine_layer, so those legs run the srn conf (5 blocks, combine_layer 3);
+# sn64 (the headline conf) has no combine layer and is single-view by
+# construction.  The last row is the DTU 3-view acceptance shape (0.25 scale,
+# 76x100, NS=3, dtu conf = default_mv 5-block/512 combine-3 MLPs) — the
+# reference's "quite slow" operating point (/root/reference/README.md:99);
+# white-bkgd override keeps compositing consistent with the white-background
+# synthetic tracer.
+#
+# Per-case training recipe: the sphere control keeps the round-2 recipe
+# (positive-bias init, uniform rays).  Every non-sphere family needs the
+# mask-supervised alpha loss — the RGB loss alone collapses multi3/offcenter
+# to the all-white solution under every other knob (measured, see
+# bench.quick_train) — plus the bbox warmup, and the wide z span (0.45-2.4)
+# needs 2x the coarse samples to keep round-2's sample spacing.  The big
+# dtu-conf MLP needs the same rescue (probe-measured on TPU: RGB-only 4000
+# steps -> fg 0.0 loss 0.25; alpha 0.1 alone -> fg 0.0; alpha 1.0 + bbox 0.5
+# -> fg 0.295 vs traced-GT fg 0.230 at 2000 steps; adding the sigma-noise
+# anneal on top REGRESSES to fg 0.0).
+_HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
+         "BENCH_TRAIN_COARSE": "64"}
+_DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5"}
 DEFAULT_CASES = [
-    ("sphere", "sn64", 1),  # round-2 control
-    ("multi3", "sn64", 1),
-    ("thin", "sn64", 1),
-    ("offcenter", "sn64", 1),
-    ("large", "sn64", 1),
-    ("cluster", "sn64", 1),
-    ("sphere", "srn", 2),
-    ("sphere", "srn", 3),
-    ("multi3", "srn", 3),
-    ("sphere", "dtu", 3, "76x100"),
+    ("sphere", "dtu", 3, "76x100", _DTU),  # the DTU acceptance shape
+    ("sphere", "sn64", 1, "", {}),  # round-2 control
+    ("multi3", "sn64", 1, "", _HARD),
+    ("thin", "sn64", 1, "", _HARD),
+    ("offcenter", "sn64", 1, "", _HARD),
+    ("large", "sn64", 1, "", _HARD),
+    ("cluster", "sn64", 1, "", _HARD),
+    ("sphere", "srn", 2, "", {}),
+    ("sphere", "srn", 3, "", {}),
+    ("multi3", "srn", 3, "", _HARD),
 ]
+_KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
+          "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR")
 
 
 def _traced_gt(s):
@@ -90,7 +107,7 @@ def _traced_gt_fg(s) -> float:
 
 
 def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
-             hw: str = "") -> dict:
+             hw: str = "", env: dict | None = None) -> dict:
     import jax
 
     from pixelnerf_tpu.render.accel import occupancy_fraction
@@ -99,6 +116,9 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
     os.environ["BENCH_CONF"] = conf
     os.environ["BENCH_NS"] = str(ns)
     os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
+    for k in _KNOBS:  # per-case recipe knobs: reset, then apply overrides
+        os.environ.pop(k, None)
+    os.environ.update(env or {})
     if hw:
         os.environ["BENCH_HW"] = hw
         os.environ["BENCH_WHITE_BKGD"] = "1"
@@ -106,7 +126,9 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
         os.environ.pop("BENCH_HW", None)
         os.environ.pop("BENCH_WHITE_BKGD", None)
     s = bench.setup_scene()
-    row = {"scene": scene_kind, "conf": conf, "ns": ns, "hw": hw or "64x64"}
+    row = {"scene": scene_kind, "conf": conf, "ns": ns, "hw": hw or "64x64",
+           "recipe": ",".join(f"{k}={v}" for k, v in (env or {}).items())
+                     or "round2"}
 
     rgb_dense, fg_frac = s.render_dense_reference()
     row["fg_frac"] = round(fg_frac, 3)
@@ -207,21 +229,24 @@ def main():
     enable_compilation_cache()
     cases = DEFAULT_CASES
     if os.environ.get("STUDY_CASES"):
-        cases = [
-            (p[0], p[1], int(p[2]), *p[3:4])
-            for p in (
-                x.split(":") for x in os.environ["STUDY_CASES"].split(";") if x
-            )
-        ]
+        # "scene:conf:ns[:hw[:K=V,K=V]]" — hw may be empty (::) to pass knobs
+        cases = []
+        for x in os.environ["STUDY_CASES"].split(";"):
+            if not x:
+                continue
+            p = x.split(":")
+            env = dict(kv.split("=") for kv in p[4].split(",")) if len(p) > 4 else {}
+            cases.append((p[0], p[1], int(p[2]), p[3] if len(p) > 3 else "", env))
     train_steps = int(os.environ.get("STUDY_TRAIN_STEPS", 4000))
     out_path = os.environ.get("STUDY_OUT")
 
     rows = []
     for scene_kind, conf, ns, *rest in cases:
         hw = rest[0] if rest else ""
-        bench.log(f"=== case {scene_kind} conf={conf} NS={ns} {hw} ===")
+        env = rest[1] if len(rest) > 1 else {}
+        bench.log(f"=== case {scene_kind} conf={conf} NS={ns} {hw} {env} ===")
         t0 = time.perf_counter()
-        row = run_case(scene_kind, conf, ns, train_steps, hw=hw)
+        row = run_case(scene_kind, conf, ns, train_steps, hw=hw, env=env)
         row["case_wall_s"] = round(time.perf_counter() - t0, 1)
         rows.append(row)
         line = json.dumps(row)
@@ -232,7 +257,8 @@ def main():
 
     # markdown table for docs/SCENES.md
     cols = [
-        "scene", "conf", "ns", "hw", "fg_frac", "trained", "psnr_dense_gt",
+        "scene", "conf", "ns", "hw", "recipe", "fg_frac", "trained",
+        "psnr_dense_gt",
         "occ_frac", "grid_build_s", "mode", "psnr_proposal", "psnr_rays",
         "accel_rays_per_sec", "dense_rays_per_sec", "speedup_vs_dense",
         "grid_build_fast_s", "psnr_proposal_fastbuild",
