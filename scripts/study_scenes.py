@@ -106,6 +106,19 @@ def _traced_gt_fg(s) -> float:
     return float(np.mean(np.abs(gt - 1.0).max(axis=-1) > 0.08))
 
 
+def parse_cases(spec: str) -> list:
+    """Parse STUDY_CASES: ``scene:conf:ns[:hw[:K=V,K=V]]`` joined by ``;``.
+    hw may be empty (``::``) to pass recipe knobs on a 64x64 case."""
+    cases = []
+    for x in spec.split(";"):
+        if not x:
+            continue
+        p = x.split(":")
+        env = dict(kv.split("=") for kv in p[4].split(",")) if len(p) > 4 else {}
+        cases.append((p[0], p[1], int(p[2]), p[3] if len(p) > 3 else "", env))
+    return cases
+
+
 def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
              hw: str = "", env: dict | None = None) -> dict:
     import jax
@@ -229,14 +242,7 @@ def main():
     enable_compilation_cache()
     cases = DEFAULT_CASES
     if os.environ.get("STUDY_CASES"):
-        # "scene:conf:ns[:hw[:K=V,K=V]]" — hw may be empty (::) to pass knobs
-        cases = []
-        for x in os.environ["STUDY_CASES"].split(";"):
-            if not x:
-                continue
-            p = x.split(":")
-            env = dict(kv.split("=") for kv in p[4].split(",")) if len(p) > 4 else {}
-            cases.append((p[0], p[1], int(p[2]), p[3] if len(p) > 3 else "", env))
+        cases = parse_cases(os.environ["STUDY_CASES"])
     train_steps = int(os.environ.get("STUDY_TRAIN_STEPS", 4000))
     out_path = os.environ.get("STUDY_OUT")
 

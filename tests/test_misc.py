@@ -331,3 +331,29 @@ def test_lpips_golden_vs_torch_reimplementation(tmp_path):
     assert ours.shape == ref.shape == (2,)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
     assert (ref > 1e-4).all()  # non-trivial distances
+
+
+def test_study_scenes_case_parsing():
+    """scripts/study_scenes.py STUDY_CASES grammar: scene:conf:ns[:hw[:K=V,..]]
+    (the accel scene-family study's override surface, docs/SCENES.md)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import study_scenes
+
+    cases = study_scenes.parse_cases(
+        "sphere:dtu:3:76x100:BENCH_TRAIN_ALPHA=1.0,BENCH_TRAIN_BBOX_FRAC=0.5;"
+        "multi3:sn64:1;"
+        "thin:srn:2::BENCH_TRAIN_ALPHA=1.0"
+    )
+    assert cases == [
+        ("sphere", "dtu", 3, "76x100",
+         {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5"}),
+        ("multi3", "sn64", 1, "", {}),
+        ("thin", "srn", 2, "", {"BENCH_TRAIN_ALPHA": "1.0"}),
+    ]
+    # the committed default table: every row (scene, conf, ns, hw, env), every
+    # override key a quick_train knob that run_case resets between cases
+    for row in study_scenes.DEFAULT_CASES:
+        assert len(row) == 5 and isinstance(row[4], dict)
+        assert set(row[4]) <= set(study_scenes._KNOBS)
