@@ -48,10 +48,15 @@ import bench
 # dtu-conf MLP needs the same rescue (probe-measured on TPU: RGB-only 4000
 # steps -> fg 0.0 loss 0.25; alpha 0.1 alone -> fg 0.0; alpha 1.0 + bbox 0.5
 # -> fg 0.295 vs traced-GT fg 0.230 at 2000 steps; adding the sigma-noise
-# anneal on top REGRESSES to fg 0.0).
+# anneal on top REGRESSES to fg 0.0).  The step count is part of the recipe:
+# quick_train's host-RNG batch stream depends on the step count, and the
+# same knobs at 4000 steps drew a stream that never escapes the plateau
+# (loss 0.95 -> 0.96, fg 0.0) — so the dtu case pins the probe-validated
+# 2000 (BENCH_TRAIN_STEPS in a case env overrides STUDY_TRAIN_STEPS).
 _HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
          "BENCH_TRAIN_COARSE": "64"}
-_DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5"}
+_DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
+        "BENCH_TRAIN_STEPS": "2000"}
 DEFAULT_CASES = [
     ("sphere", "dtu", 3, "76x100", _DTU),  # the DTU acceptance shape
     ("sphere", "sn64", 1, "", {}),  # round-2 control
@@ -65,7 +70,7 @@ DEFAULT_CASES = [
     ("multi3", "srn", 3, "", _HARD),
 ]
 _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
-          "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR")
+          "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS")
 
 
 def _traced_gt(s):
@@ -128,9 +133,9 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
     os.environ["BENCH_SCENE"] = scene_kind
     os.environ["BENCH_CONF"] = conf
     os.environ["BENCH_NS"] = str(ns)
-    os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
     for k in _KNOBS:  # per-case recipe knobs: reset, then apply overrides
         os.environ.pop(k, None)
+    os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
     os.environ.update(env or {})
     if hw:
         os.environ["BENCH_HW"] = hw
