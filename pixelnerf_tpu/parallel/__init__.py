@@ -1,4 +1,16 @@
-from .mesh import make_ray_mesh, make_train_mesh
+from .mesh import (
+    BATCH_KEY_KINDS,
+    batch_shardings,
+    make_ray_mesh,
+    make_train_mesh,
+)
 from .pipeline import RenderPipeline, unpack_simple
 
-__all__ = ["RenderPipeline", "make_ray_mesh", "make_train_mesh", "unpack_simple"]
+__all__ = [
+    "BATCH_KEY_KINDS",
+    "RenderPipeline",
+    "batch_shardings",
+    "make_ray_mesh",
+    "make_train_mesh",
+    "unpack_simple",
+]

@@ -47,3 +47,52 @@ def make_train_mesh(
     assert n % data_parallel == 0, (n, data_parallel)
     arr = np.array(devices).reshape(data_parallel, n // data_parallel)
     return Mesh(arr, ("data", "rays"))
+
+
+# Per-batch-key sharding kinds for a ("data", "rays") train mesh.  "data"
+# tensors carry one slice per object (axis 0 = SB); "rays" tensors add a
+# per-object ray axis (axis 1 = R) sharded over the mesh's ray dimension.
+# This table is the single source of truth for which keys a training batch
+# may contain — prepare_ray_batch (train/trainer.py) must not emit a key
+# that is absent here (pinned by tests/test_train_pipeline.py), which is
+# what let round 3's new "mask_gt" key silently break the driver dryrun.
+BATCH_KEY_KINDS = {
+    "src_images": "data",
+    "src_poses": "data",
+    "focal": "data",
+    "c": "data",
+    "rays": "rays",
+    "rgb_gt": "rays",
+    "mask_gt": "rays",
+}
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """NamedSharding per tensor of one training batch over a ("data", "rays")
+    mesh.  Any axis whose size does not divide the mesh axis falls back to
+    replication (e.g. the validate path's SB=1 batches on a data>1 mesh) —
+    replication is semantically identical, just unsharded along that axis.
+
+    Shared by Trainer._batch_shardings and the driver's dryrun_multichip so
+    a new batch key can never be sharded in one and missing in the other.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_n = mesh.shape["data"]
+    rays_n = mesh.shape["rays"]
+
+    out = {}
+    for k, v in batch.items():
+        kind = BATCH_KEY_KINDS.get(k)
+        if kind is None:
+            raise KeyError(
+                f"batch key {k!r} has no sharding kind; add it to "
+                "parallel.mesh.BATCH_KEY_KINDS"
+            )
+        d = "data" if v.shape[0] % data_n == 0 else None
+        if kind == "data":
+            out[k] = NamedSharding(mesh, P(d))
+        else:
+            r = "rays" if v.shape[1] % rays_n == 0 else None
+            out[k] = NamedSharding(mesh, P(d, r))
+    return out

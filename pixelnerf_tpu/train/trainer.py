@@ -793,34 +793,12 @@ class Trainer:
 
     # -------------------- steps --------------------
     def _batch_shardings(self, batch: dict) -> dict:
-        """Per-tensor shardings for one batch.  Any axis whose size does not
-        divide the mesh axis falls back to replication (e.g. the validate
-        path's SB=1 batches on a data>1 mesh) — replication is semantically
-        identical, just unsharded along that axis."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        """Per-tensor shardings for one batch — the shared
+        :func:`pixelnerf_tpu.parallel.batch_shardings` table, so the driver's
+        dryrun and the Trainer can never disagree about a batch key."""
+        from ..parallel import batch_shardings
 
-        data_n = self.mesh.shape["data"]
-        rays_n = self.mesh.shape["rays"]
-
-        def sh(v, kind):
-            d = "data" if v.shape[0] % data_n == 0 else None
-            if kind == "data":
-                return NamedSharding(self.mesh, P(d))
-            r = "rays" if v.shape[1] % rays_n == 0 else None
-            return NamedSharding(self.mesh, P(d, r))
-
-        out = {
-            "src_images": sh(batch["src_images"], "data"),
-            "src_poses": sh(batch["src_poses"], "data"),
-            "focal": sh(batch["focal"], "data"),
-            "rays": sh(batch["rays"], "rays"),
-            "rgb_gt": sh(batch["rgb_gt"], "rays"),
-        }
-        if "c" in batch:
-            out["c"] = sh(batch["c"], "data")
-        if "mask_gt" in batch:
-            out["mask_gt"] = sh(batch["mask_gt"], "rays")
-        return out
+        return batch_shardings(self.mesh, batch)
 
     def _shard_steps(self, train_step, eval_step):
         """Re-jit the step functions with explicit mesh shardings."""

@@ -102,6 +102,34 @@ def test_prepare_ray_batch_shapes():
     )
 
 
+def test_every_batch_key_has_a_sharding():
+    """Every key prepare_ray_batch can emit must be covered by the shared
+    sharding table — the guard for round 3's dryrun regression, where a new
+    batch key (mask_gt) existed in the Trainer's sharding dict but not in the
+    driver entry's hand-built copy."""
+    from pixelnerf_tpu.parallel import BATCH_KEY_KINDS, batch_shardings
+    from pixelnerf_tpu.parallel import make_train_mesh
+
+    ds = SyntheticDataset(n_objs=2, n_views=4, image_size=24)
+    data = collate([ds[0], ds[1]])
+    # masks present, plus an injected principal point -> the fullest batch
+    # prepare_ray_batch can produce
+    assert "masks" in data
+    data["c"] = np.full((2, 2), 12.0, np.float32)
+    batch = prepare_ray_batch(data, 1, 32, 0.8, 1.8, True,
+                              np.random.default_rng(0))
+    assert set(batch) <= set(BATCH_KEY_KINDS), (
+        f"prepare_ray_batch emits {sorted(set(batch) - set(BATCH_KEY_KINDS))} "
+        "with no sharding kind in parallel.mesh.BATCH_KEY_KINDS"
+    )
+    mesh = make_train_mesh(8, data_parallel=2)
+    sh = batch_shardings(mesh, batch)
+    assert set(sh) == set(batch)
+    # unknown keys fail loudly instead of KeyError-ing inside the dryrun
+    with pytest.raises(KeyError, match="BATCH_KEY_KINDS"):
+        batch_shardings(mesh, {"new_key": batch["rays"]})
+
+
 def test_training_loss_decreases_and_resumes(tmp_path):
     conf, net, ds, renderer, variables, args, trainer = _build(tmp_path)
     data = collate([ds[0], ds[1]])
