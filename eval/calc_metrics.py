@@ -81,6 +81,9 @@ render_root = args.output
 
 METRIC_NAMES = ["psnr", "ssim", "lpips"]
 
+# views with bad GT in the DTU capture rig (reference calc_metrics.py:142-145)
+DTU_BAD_VIEWS = [3, 4, 5, 6, 7, 16, 17, 18, 19, 20, 21, 36, 37, 38, 39]
+
 
 def _load_metadata():
     path = osp.join(args.datadir, args.metadata)
@@ -118,100 +121,81 @@ def run_map():
         print(f"LPIPS disabled: {e}")
         lpips = None
 
-    if args.multicat:
-        cats = os.listdir(data_root)
-
-        def fmt_obj_name(c, x):
-            return c + "_" + x
-
-    else:
-        cats = ["."]
-
-        def fmt_obj_name(c, x):
-            return x
-
-    use_exclude_lut = len(args.viewlist) > 0
-    if use_exclude_lut:
+    exclude_lut = {}
+    if args.viewlist:
+        # viewlist rows: `<cat> <obj> <view view ...>` (viewlist/src_*.txt)
         print("Excluding views from list", args.viewlist)
         with open(args.viewlist) as f:
-            tmp = [x.strip().split() for x in f.readlines()]
-        exclude_lut = {
-            x[0] + "/" + x[1]: list(map(int, x[2:])) for x in tmp
-        }
-    base_exclude_views = list(map(int, args.primary.split()))
+            for row in f:
+                cat_id, obj_id, *views = row.split()
+                exclude_lut[f"{cat_id}/{obj_id}"] = [int(v) for v in views]
+    base_exclude_views = [int(v) for v in args.primary.split()]
     if args.exclude_dtu_bad:
-        base_exclude_views.extend(
-            [3, 4, 5, 6, 7, 16, 17, 18, 19, 20, 21, 36, 37, 38, 39]
-        )
+        base_exclude_views += DTU_BAD_VIEWS
 
+    eval_views = None
     if args.eval_view_list is not None:
         with open(args.eval_view_list) as f:
-            eval_views = list(map(int, f.readline().split()))
+            eval_views = [int(v) for v in f.readline().split()]
         print("Only using views", eval_views)
-    else:
-        eval_views = None
 
+    def split_members(cat_root):
+        """Object ids of ``cat_root`` restricted to the split .lst, if any."""
+        members = sorted(
+            x for x in os.listdir(cat_root) if osp.isdir(osp.join(cat_root, x))
+        )
+        if list_name and osp.exists(osp.join(cat_root, list_name)):
+            with open(osp.join(cat_root, list_name)) as f:
+                keep = {ln.strip() for ln in f}
+            members = [x for x in members if x in keep]
+        return members
+
+    # (gt object dir, render dir) pairs; render dir is `<cat>_<obj>` under
+    # --multicat, bare `<obj>` otherwise — eval.py's output naming
+    cat_ids = sorted(os.listdir(data_root)) if args.multicat else ["."]
     all_objs = []
     total_objs = 0
     print("CATEGORICAL SUMMARY")
-    for cat in cats:
-        cat_root = osp.join(data_root, cat)
+    for cat_id in cat_ids:
+        cat_root = osp.join(data_root, cat_id)
         if not osp.isdir(cat_root):
             continue
-        objs = sorted(os.listdir(cat_root))
-        if len(list_name) > 0:
-            list_path = osp.join(cat_root, list_name)
-            if osp.exists(list_path):
-                with open(list_path) as f:
-                    split = set(x.strip() for x in f.readlines())
-                objs = [x for x in objs if x in split]
-        objs_rend = [osp.join(render_root, fmt_obj_name(cat, x)) for x in objs]
-        objs = [osp.join(cat_root, x) for x in objs]
-        objs = [x for x in objs if osp.isdir(x)]
-        pairs = list(zip(objs, objs_rend))
-        avail = [x for x in pairs if osp.exists(x[1])]
-        print(cat, "TOTAL", len(pairs), "AVAILABLE", len(avail))
-        total_objs += len(pairs)
-        all_objs.extend(avail)
+        n_cat = 0
+        for obj_id in split_members(cat_root):
+            rend_name = f"{cat_id}_{obj_id}" if args.multicat else obj_id
+            rend_dir = osp.join(render_root, rend_name)
+            n_cat += 1
+            if osp.exists(rend_dir):
+                all_objs.append((osp.join(cat_root, obj_id), rend_dir))
+        print(cat_id, "TOTAL", n_cat, "AVAILABLE",
+              sum(1 for g, _ in all_objs if g.startswith(cat_root + osp.sep)))
+        total_objs += n_cat
     print(">>> USING", len(all_objs), "OF", total_objs, "OBJECTS")
 
-    def isimage(path):
-        return osp.splitext(path)[1] in (".jpg", ".png")
+    def load_image(p):
+        return imageio.imread(p).astype(np.float32)[..., :3] / 255.0
 
-    def process_obj(path, rend_path):
-        im_root = osp.join(path, img_dir_name) if img_dir_name else path
-        out_path = osp.join(rend_path, "metrics.txt")
-        if osp.exists(out_path) and not args.overwrite:
-            return
-        ims = [x for x in sorted(os.listdir(im_root)) if isimage(x)]
-        if use_exclude_lut:
-            lut_key = osp.basename(rend_path).replace("_", "/")
-            exclude_views = list(exclude_lut.get(lut_key, []))
-        else:
-            exclude_views = []
-        exclude_views.extend(base_exclude_views)
-
-        psnr_avg = ssim_avg = 0.0
-        gts, preds = [], []
-        num_ims = 0
-        for im_name in ims:
-            im_name_id = int(osp.splitext(im_name)[0])
-            im_rend_path = osp.join(
-                rend_path, "{:06}.png".format(im_name_id)
-            )
-            if not osp.exists(im_rend_path) or im_name_id in exclude_views:
+    def eligible_pairs(gt_dir, rend_dir):
+        """Yield (pred, gt) float [0,1] image pairs for every view of this
+        object that has a render and isn't excluded (viewlist LUT keyed
+        `<cat>/<obj>`, --primary, DTU bad views, --eval_view_list)."""
+        im_root = osp.join(gt_dir, img_dir_name) if img_dir_name else gt_dir
+        skip = set(base_exclude_views)
+        skip.update(
+            exclude_lut.get(osp.basename(rend_dir).replace("_", "/"), [])
+        )
+        for im_name in sorted(os.listdir(im_root)):
+            stem, ext = osp.splitext(im_name)
+            if ext not in (".jpg", ".png"):
                 continue
-            if eval_views is not None and im_name_id not in eval_views:
+            view = int(stem)
+            rend_file = osp.join(rend_dir, f"{view:06}.png")
+            if view in skip or not osp.exists(rend_file):
                 continue
-            gt = (
-                imageio.imread(osp.join(im_root, im_name)).astype(np.float32)[
-                    ..., :3
-                ]
-                / 255.0
-            )
-            pred = (
-                imageio.imread(im_rend_path).astype(np.float32)[..., :3] / 255.0
-            )
+            if eval_views is not None and view not in eval_views:
+                continue
+            pred = load_image(rend_file)
+            gt = load_image(osp.join(im_root, im_name))
             if pred.shape != gt.shape:
                 # renders produced with eval.py --scale: compare at the render
                 # resolution (matches eval.py's own scaled GT comparison)
@@ -219,113 +203,121 @@ def run_map():
 
                 gt = (
                     np.asarray(
-                        Image.fromarray(
-                            (gt * 255.0).astype(np.uint8)
-                        ).resize(
+                        Image.fromarray((gt * 255.0).astype(np.uint8)).resize(
                             (pred.shape[1], pred.shape[0]), Image.BILINEAR
                         )
                     ).astype(np.float32)
                     / 255.0
                 )
-            psnr_avg += M.psnr(pred, gt)
-            ssim_avg += M.ssim(pred, gt, data_range=1.0)
-            gts.append(gt * 2.0 - 1.0)
-            preds.append(pred * 2.0 - 1.0)
-            num_ims += 1
-        if num_ims == 0:
-            return
-        if lpips is not None:
-            vals = []
-            for s in range(0, num_ims, args.lpips_batch_size):
-                p = np.stack(preds[s : s + args.lpips_batch_size])
-                g = np.stack(gts[s : s + args.lpips_batch_size])
-                vals.append(np.asarray(lpips(p, g)))
-            lpips_val = float(np.concatenate(vals).mean())
-        else:
-            lpips_val = float("nan")
-        psnr_avg /= num_ims
-        ssim_avg /= num_ims
-        with open(out_path, "w") as f:
-            f.write(f"psnr {psnr_avg}\nssim {ssim_avg}\nlpips {lpips_val}")
+            yield pred, gt
 
-    for obj_path, obj_rend_path in all_objs:
-        process_obj(obj_path, obj_rend_path)
+    def process_obj(gt_dir, rend_dir):
+        out_path = osp.join(rend_dir, "metrics.txt")
+        if osp.exists(out_path) and not args.overwrite:
+            return
+        pairs = list(eligible_pairs(gt_dir, rend_dir))
+        if not pairs:
+            return
+        psnr = float(np.mean([M.psnr(p, g) for p, g in pairs]))
+        ssim = float(np.mean([M.ssim(p, g, data_range=1.0) for p, g in pairs]))
+        lpips_val = float("nan")
+        if lpips is not None:
+            # LPIPS consumes [-1, 1] batches
+            preds = np.stack([p for p, _ in pairs]) * 2.0 - 1.0
+            gts = np.stack([g for _, g in pairs]) * 2.0 - 1.0
+            B = args.lpips_batch_size
+            lpips_val = float(
+                np.concatenate(
+                    [
+                        np.asarray(lpips(preds[s : s + B], gts[s : s + B]))
+                        for s in range(0, len(pairs), B)
+                    ]
+                ).mean()
+            )
+        with open(out_path, "w") as f:
+            f.write(f"psnr {psnr}\nssim {ssim}\nlpips {lpips_val}")
+
+    for gt_dir, rend_dir in all_objs:
+        process_obj(gt_dir, rend_dir)
+
+
+def _metric_cells(avg: dict) -> str:
+    """The all_metrics.txt value columns: `` psnr: x.xxxxxx ssim: ...``.
+
+    The 6-decimal cell layout, the 12-char left-padded label column, and the
+    ``---``-separated total row below are the byte contract of the reference's
+    output (reference calc_metrics.py:317-341; sample README.md:219-238) —
+    pinned by tests/test_cli.py::test_calc_metrics_reduce_format."""
+    return "".join(f" {name}: {avg[name]:.6f}" for name in METRIC_NAMES)
+
+
+def _metric_means(records) -> dict:
+    return {
+        name: float(np.mean([r[name] for r in records])) for name in METRIC_NAMES
+    }
 
 
 def run_reduce():
-    if args.multicat:
-        meta = _load_metadata()
-        cats = sorted(meta.keys())
-        cat_description = {
-            cat: meta[cat].get("name", cat).split(",")[0] for cat in cats
-        }
-
-    objs = [osp.join(render_root, x) for x in os.listdir(render_root) if x[0] != "_"]
-    objs = [x for x in objs if osp.isdir(x) and osp.exists(osp.join(x, "metrics.txt"))]
+    """Aggregate every per-object metrics.txt under the render root into
+    all_metrics.txt: parse each file into a record, group records by category
+    (``--multicat``), emit one mean row per category plus the overall mean."""
+    obj_dirs = sorted(
+        d
+        for d in (
+            osp.join(render_root, x)
+            for x in os.listdir(render_root)
+            if not x.startswith("_")
+        )
+        if osp.isdir(d) and osp.isfile(osp.join(d, "metrics.txt"))
+    )
     if args.dtu_sort:
-        objs = sorted(objs, key=lambda x: int(x[x.rindex("/") + 5 :]))
-    else:
-        objs = sorted(objs)
-    print(">>> PROCESSING", len(objs), "OBJECTS")
-    if not objs:
+        # DTU object dirs are scanNNN — numeric scene order
+        obj_dirs.sort(key=lambda d: int(osp.basename(d)[4:]))
+    print(">>> PROCESSING", len(obj_dirs), "OBJECTS")
+    if not obj_dirs:
         return
 
-    out_metrics_path = osp.join(render_root, "all_metrics.txt")
-    cat_sz = {}
-    all_metrics = {}
+    records = []  # (object dir, {metric: value})
+    for d in obj_dirs:
+        with open(osp.join(d, "metrics.txt")) as f:
+            vals = {
+                key: float(val)
+                for key, val in (ln.split() for ln in f if ln.strip())
+            }
+        records.append((d, vals))
+    if len(records) < 100:
+        for d, vals in records:
+            print(d, " ".join(repr(vals[n]) for n in METRIC_NAMES if n in vals))
+
+    lines = []
     if args.multicat:
-        for cat in cats:
-            cat_sz[cat] = 0
-            for name in METRIC_NAMES:
-                all_metrics[cat + "." + name] = 0.0
-    for name in METRIC_NAMES:
-        all_metrics[name] = 0.0
-
-    should_print = len(objs) < 100
-    for obj_root in objs:
-        with open(osp.join(obj_root, "metrics.txt")) as f:
-            obj_metrics = [line.split() for line in f.readlines()]
-        if args.multicat:
-            cat_name = osp.basename(obj_root).split("_")[0]
-            if cat_name in cat_sz:
-                cat_sz[cat_name] += 1
-                for metric, val in obj_metrics:
-                    all_metrics[cat_name + "." + metric] += float(val)
-        for metric, val in obj_metrics:
-            all_metrics[metric] += float(val)
-        if should_print:
-            print(obj_root, " ".join(v for _, v in obj_metrics))
-
-    for name in METRIC_NAMES:
-        if args.multicat:
-            for cat in cats:
-                if cat_sz[cat] > 0:
-                    all_metrics[cat + "." + name] /= cat_sz[cat]
-        all_metrics[name] /= len(objs)
-        print(name, all_metrics[name])
-
-    metrics_txt = []
-    if args.multicat:
-        for cat in cats:
-            if cat_sz[cat] > 0:
-                cat_txt = "{:12s}".format(cat_description[cat])
-                for name in METRIC_NAMES:
-                    cat_txt += " {}: {:.6f}".format(
-                        name, all_metrics[cat + "." + name]
-                    )
-                cat_txt += " n_inst: {}".format(cat_sz[cat])
-                metrics_txt.append(cat_txt)
-        total_txt = "---\n{:12s}".format("total")
+        meta = _load_metadata()
+        by_cat = {}
+        for d, vals in records:
+            by_cat.setdefault(osp.basename(d).split("_")[0], []).append(vals)
+        for cat in sorted(meta):
+            if cat not in by_cat:
+                continue
+            label = meta[cat].get("name", cat).split(",")[0]
+            lines.append(
+                f"{label:<12s}{_metric_cells(_metric_means(by_cat[cat]))}"
+                f" n_inst: {len(by_cat[cat])}"
+            )
+        total_prefix = f"---\n{'total':<12s}"
     else:
-        total_txt = ""
+        total_prefix = ""
+
+    overall = _metric_means([vals for _, vals in records])
     for name in METRIC_NAMES:
-        total_txt += " {}: {:.6f}".format(name, all_metrics[name])
-    metrics_txt.append(total_txt)
-    metrics_txt = "\n".join(metrics_txt)
-    with open(out_metrics_path, "w") as f:
-        f.write(metrics_txt)
-    print("WROTE", out_metrics_path)
-    print(metrics_txt)
+        print(name, overall[name])
+    lines.append(total_prefix + _metric_cells(overall))
+
+    text = "\n".join(lines)
+    out_path = osp.join(render_root, "all_metrics.txt")
+    with open(out_path, "w") as f:
+        f.write(text)
+    print("WROTE", out_path)
+    print(text)
 
 
 if __name__ == "__main__":

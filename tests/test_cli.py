@@ -160,6 +160,40 @@ def test_eval_cli_then_calc_metrics(monkeypatch, env):
     assert os.path.exists(os.path.join(out, "all_metrics.txt"))
 
 
+def test_calc_metrics_reduce_format(monkeypatch, tmp_path):
+    """all_metrics.txt byte format is the reference's contract
+    (calc_metrics.py:317-341): 12-char left-padded label column, 6-decimal
+    ` name: value` cells, ` n_inst: N`, `---`-separated total row."""
+    data = tmp_path / "data"
+    out = tmp_path / "render"
+    (data / "02691156").mkdir(parents=True)
+    (data / "03001627").mkdir()
+    (data / "metadata.yaml").write_text(
+        "02691156:\n  name: airplane,aeroplane,plane\n"
+        "03001627:\n  name: chair\n"
+    )
+    rows = {
+        "02691156_obj1": (25.0, 0.9, 0.1),
+        "02691156_obj2": (27.0, 0.92, 0.12),
+        "03001627_obj3": (30.0, 0.95, 0.05),
+    }
+    for name, (p, s, l) in rows.items():
+        d = out / name
+        d.mkdir(parents=True)
+        (d / "metrics.txt").write_text(f"psnr {p}\nssim {s}\nlpips {l}")
+    _run(
+        monkeypatch,
+        "eval/calc_metrics.py",
+        ["-D", str(data), "-F", "dvr", "-O", str(out), "-R", "--multicat"],
+    )
+    assert (out / "all_metrics.txt").read_text() == (
+        "airplane     psnr: 26.000000 ssim: 0.910000 lpips: 0.110000 n_inst: 2\n"
+        "chair        psnr: 30.000000 ssim: 0.950000 lpips: 0.050000 n_inst: 1\n"
+        "---\n"
+        "total        psnr: 27.333333 ssim: 0.923333 lpips: 0.090000"
+    )
+
+
 def test_eval_approx_cli(monkeypatch, env):
     _run(
         monkeypatch,
