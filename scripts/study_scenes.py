@@ -113,13 +113,33 @@ def _traced_gt_fg(s) -> float:
 
 def parse_cases(spec: str) -> list:
     """Parse STUDY_CASES: ``scene:conf:ns[:hw[:K=V,K=V]]`` joined by ``;``.
-    hw may be empty (``::``) to pass recipe knobs on a 64x64 case."""
+    hw may be empty (``::``) to pass recipe knobs on a 64x64 case.
+
+    Env overrides are restricted to the per-case recipe knobs (_KNOBS):
+    run_case only resets those between cases, so any other key would leak
+    into every subsequent case's environment."""
     cases = []
     for x in spec.split(";"):
         if not x:
             continue
         p = x.split(":")
-        env = dict(kv.split("=") for kv in p[4].split(",")) if len(p) > 4 else {}
+        env = {}
+        if len(p) > 4:
+            for kv in p[4].split(","):
+                if not kv:
+                    continue
+                key, sep, val = kv.partition("=")
+                if not sep:
+                    raise ValueError(
+                        f"malformed override {kv!r} in case {x!r} "
+                        "(expected K=V)"
+                    )
+                if key not in _KNOBS:
+                    raise ValueError(
+                        f"unknown recipe knob {key!r} in case {x!r}; "
+                        f"allowed: {', '.join(_KNOBS)}"
+                    )
+                env[key] = val
         cases.append((p[0], p[1], int(p[2]), p[3] if len(p) > 3 else "", env))
     return cases
 

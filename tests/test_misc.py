@@ -357,3 +357,16 @@ def test_study_scenes_case_parsing():
     for row in study_scenes.DEFAULT_CASES:
         assert len(row) == 5 and isinstance(row[4], dict)
         assert set(row[4]) <= set(study_scenes._KNOBS)
+    # malformed overrides fail loudly; non-knob keys (which run_case would not
+    # reset between cases) are rejected; trailing empty fields are tolerated
+    with pytest.raises(ValueError, match="expected K=V"):
+        study_scenes.parse_cases("sphere:sn64:1:hw:BENCH_TRAIN_ALPHA")
+    with pytest.raises(ValueError, match="unknown recipe knob"):
+        study_scenes.parse_cases("sphere:sn64:1::BENCH_ACCEL=0")
+    assert study_scenes.parse_cases("sphere:sn64:1:hw:") == [
+        ("sphere", "sn64", 1, "hw", {})
+    ]
+    # values containing '=' split only on the first
+    assert study_scenes.parse_cases(
+        "sphere:sn64:1::BENCH_TRAIN_LR=1e-4"
+    )[0][4] == {"BENCH_TRAIN_LR": "1e-4"}
