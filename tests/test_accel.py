@@ -167,6 +167,7 @@ def _render(rays, cfg, accel=None, seed=3):
     return jax.tree_util.tree_map(np.asarray, out)
 
 
+@pytest.mark.slow
 def test_sample_pruned_render_matches_dense():
     """Per-sample pruning with an exact-zero-outside field must reproduce the
     dense render to float tolerance (identical compositing of live samples)."""
@@ -191,6 +192,7 @@ def test_sample_pruned_render_matches_dense():
     assert psnr > 50.0, psnr
 
 
+@pytest.mark.slow
 def test_ray_pruned_render_matches_dense():
     """Ray-level compaction (default accel_mode): miss rays composite to the
     exact background the dense path produces (sigma is exactly zero outside
@@ -216,6 +218,7 @@ def test_ray_pruned_render_matches_dense():
     assert psnr > 40.0, psnr
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["rays", "samples"])
 def test_capacity_overflow_falls_back_to_dense(mode):
     """A chunk with more live elements than capacity must take the lax.cond
@@ -260,6 +263,7 @@ def test_all_occupied_grid_exactness():
     )
 
 
+@pytest.mark.slow
 def test_training_and_superbatch_ignore_accel():
     """accel is eval-only (SB == 1, training=False); other paths must render
     identically with or without a grid."""
@@ -284,6 +288,7 @@ def test_training_and_superbatch_ignore_accel():
     assert np.isfinite(a["coarse"]["rgb"]).all()
 
 
+@pytest.mark.slow
 def test_pipeline_build_accel_and_render(monkeypatch):
     """End-to-end: RenderPipeline.build_accel on the real conditioned net,
     then render_simple with pruning enabled — finite output, close to the
@@ -341,6 +346,7 @@ def test_pipeline_build_accel_and_render(monkeypatch):
     assert pipeline.accel is None
 
 
+@pytest.mark.slow
 def test_proposal_render_matches_dense():
     """Grid-proposal mode (accel_mode="proposal") replaces the coarse MLP
     with occupancy lookups and shrinks the fine union to
@@ -373,6 +379,7 @@ def test_proposal_render_matches_dense():
     assert np.median(d_err) < 0.05, np.median(d_err)
 
 
+@pytest.mark.slow
 def test_proposal_depth_samples_override():
     """accel_depth_samples shrinks the proposal union's depth draws WITHOUT
     touching the dense path's n_fine_depth (measured redundant there:
@@ -412,6 +419,7 @@ def test_proposal_depth_samples_override():
     assert RenderConfig.from_conf(c3).accel_depth_samples == 8
 
 
+@pytest.mark.slow
 def test_proposal_capacity_overflow_uses_proposal_dense():
     """Over-capacity chunks in proposal mode fall back to a DENSE-RAY render
     that still uses proposal sampling (consistent cond branches; finite)."""
@@ -451,6 +459,7 @@ def test_proposal_without_fine_degrades_to_ray_mode():
     )
 
 
+@pytest.mark.slow
 def test_proposal_empty_ray_depth_branch_consistent():
     """A fully-empty ray's proposal coarse depth must be 0.0 from BOTH
     lax.cond branches: the compacted branch's scatter fill and the
@@ -490,6 +499,7 @@ def test_proposal_empty_ray_depth_branch_consistent():
     # contract, tested above)
 
 
+@pytest.mark.slow
 def test_proposal_sigma_pdf_tracks_surface():
     """With a sigma-carrying grid (build_occupancy_grid stores the dilated
     max-sigma field) the proposal pdf is the grid's compositing weight, not
@@ -559,6 +569,7 @@ def test_proposal_sigma_pdf_tracks_surface():
     assert psnr > 30.0, psnr
 
 
+@pytest.mark.slow
 def test_proposal_probe_count_decoupled_from_n_coarse():
     """accel_probe_samples probes a finer grid-lookup ladder than n_coarse in
     proposal mode (probes are ~free next to MLP evals): the pdf/liveness use
@@ -586,6 +597,7 @@ def test_proposal_probe_count_decoupled_from_n_coarse():
         assert psnr > 30.0, (cap, psnr)
 
 
+@pytest.mark.slow
 def test_proposal_subthreshold_sigma_keeps_empty_depth_zero():
     """Sub-threshold grid sigma must contribute ZERO proposal weight: a ray
     the compaction branch prunes (scatter fill depth 0.0) must read depth 0.0
@@ -617,6 +629,7 @@ def test_proposal_subthreshold_sigma_keeps_empty_depth_zero():
     np.testing.assert_array_equal(dense["coarse"]["depth"], 0.0)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_accel_render_matches_single_device():
     """Occupancy pruning under a ray-sharded mesh: on real multi-chip
     hardware gen_video engages BOTH the grid accel and the ray mesh
@@ -844,6 +857,7 @@ def test_autoselect_chunk_from_point_budget():
     assert pipe.accel_chunk is None
 
 
+@pytest.mark.slow
 def test_eval_accel_metric_delta_vs_dense():
     """eval --accel quality at the METRICS level (VERDICT r2 next #6): on a
     gate-passing scene, the PSNR/SSIM an accel'd eval reports against GT must

@@ -21,6 +21,9 @@ import sys
 
 import numpy as np
 import pytest
+
+# whole-module: real torch training / Pallas-interpreter sweeps - the slow tier
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F

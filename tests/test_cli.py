@@ -99,6 +99,7 @@ def _base_argv(env, name, extra, data_key="data", fmt="dvr"):
     ] + extra
 
 
+@pytest.mark.slow
 def test_gen_video_cli(monkeypatch, env):
     _run(
         monkeypatch,
@@ -233,6 +234,7 @@ def test_eval_real_cli(monkeypatch, env):
     assert os.listdir(outp / frame_dirs[0])
 
 
+@pytest.mark.slow
 def test_train_cli(monkeypatch, env):
     name = "tiny_train"
     argv = _base_argv(
@@ -250,6 +252,7 @@ def test_train_cli(monkeypatch, env):
     assert "pixel_nerf_latest" in files
 
 
+@pytest.mark.slow
 def test_train_cli_profile(monkeypatch, env, tmp_path):
     """--profile_dir captures a jax.profiler device trace of steps 3-5
     (TensorBoard-viewable; SURVEY §5.1 tracing subsystem)."""
@@ -278,6 +281,7 @@ def test_train_cli_profile(monkeypatch, env, tmp_path):
     assert real, f"no plugins/profile xplane/trace files among {trace_files}"
 
 
+@pytest.mark.slow
 def test_train_cli_multi_device(monkeypatch, env, capsys):
     """--gpu_id with N>1 entries must construct a ("data", "rays") mesh and
     train sharded through the CLI path (reference: --gpu_id '0 1 3' drives
@@ -308,6 +312,7 @@ def test_train_cli_multi_device(monkeypatch, env, capsys):
     assert "pixel_nerf_latest" in files
 
 
+@pytest.mark.slow
 def test_eval_cli_accel_gate(monkeypatch, env):
     """--accel proposal through the real CLI with the per-object self-gate
     (VERDICT r2 next #6): PIXELNERF_ACCEL_CPU_OK exercises the accel+gate

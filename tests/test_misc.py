@@ -116,6 +116,7 @@ def test_partial_merge_keeps_uninitialized(tmp_path):
     np.testing.assert_allclose(merged["params"]["b"]["kernel"], 1.0)
 
 
+@pytest.mark.slow
 def test_lpips_converter_and_forward(tmp_path):
     """Build a fake torchvision-layout VGG16 state dict + lin heads, convert,
     and run LPIPS forward; identical inputs must give ~0 distance."""
@@ -152,6 +153,7 @@ def test_lpips_converter_and_forward(tmp_path):
     assert d_diff > 1e-4
 
 
+@pytest.mark.slow
 def test_monitor_and_diagnostic(tmp_path, capsys):
     from pixelnerf_tpu.data import SyntheticDataset
     from pixelnerf_tpu.train.diagnostic import DiagnosticTool
@@ -192,6 +194,7 @@ def test_monitor_and_diagnostic(tmp_path, capsys):
     assert diag.check_model_output(net, variables, s)
 
 
+@pytest.mark.slow
 def test_conv_encoder_path():
     from pixelnerf_tpu.models import make_model
     from pixelnerf_tpu.models.pixelnerf import PixelNeRFNet
@@ -247,6 +250,7 @@ def test_warping_identity():
     assert len(views) == 3 and all(v >= 2 for v in views)
 
 
+@pytest.mark.slow
 def test_lpips_golden_vs_torch_reimplementation(tmp_path):
     """Golden-value LPIPS test (VERDICT #8): synthetic torch lpips-layout
     weights -> converter -> Flax forward must EQUAL an independent torch

@@ -112,6 +112,7 @@ def _randomize_bn_stats(model, seed=0):
             m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_first_pool", [True, False])
 def test_resnet_backbone_parity(use_first_pool):
     torch.manual_seed(0)
@@ -372,6 +373,7 @@ def test_pixelnerf_query_planar_matches_flat_superbatch():
     )
 
 
+@pytest.mark.slow
 def test_pixelnerf_multiscale_fusion_path():
     conf_text = SMALL_CONF.replace(
         "use_first_pool = False }",
@@ -547,6 +549,7 @@ def test_load_pretrained_backbones_from_file(tmp_path, monkeypatch):
     # PIXELNERF_ALLOW_RANDOM_BACKBONE=1)
 
 
+@pytest.mark.slow
 def test_pixelnerf_query_end_to_end_torch_oracle():
     """Full conditioned-query parity vs an independent torch implementation of
     the upstream semantics (backup2:98-282): pose inversion, camera-space

@@ -36,6 +36,7 @@ def _make(d_in, d_latent, d_hidden, n_blocks, combine_layer, seed=0):
     "NS,B,combine_layer",
     [(1, 300, 3), (2, 257, 3), (3, 128, 2), (1, 100, 1000)],
 )
+@pytest.mark.slow
 def test_pallas_matches_xla(NS, B, combine_layer):
     d_in, d_latent, d_hidden, n_blocks = 42, 512, 512, 5
     if combine_layer >= n_blocks and NS > 1:
@@ -132,6 +133,7 @@ def test_bilinear_taps_match_grid_sample():
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_fused_gather_matches_dense():
     """LatentGather path (interpret mode) == dense-latent path == XLA."""
     from pixelnerf_tpu.ops.grid_sample import bilinear_taps
@@ -171,6 +173,7 @@ def test_pallas_fused_gather_matches_dense():
         np.testing.assert_allclose(got, refn, atol=tol)
 
 
+@pytest.mark.slow
 def test_query_fused_gather_matches_dense_query():
     """PixelNeRFNet.query with the fused-gather path (pallas, interpret) equals
     the XLA dense path within bf16 tolerance."""
@@ -218,6 +221,7 @@ def test_query_fused_gather_matches_dense_query():
         rpmod.resnetfc_pallas = orig
 
 
+@pytest.mark.slow
 def test_pallas_mv_fused_gather_matches_dense():
     """Multi-view LatentGather (point-major kernel, interpret) == dense XLA."""
     from pixelnerf_tpu.ops.grid_sample import bilinear_taps
@@ -257,6 +261,7 @@ def test_pallas_mv_fused_gather_matches_dense():
         np.testing.assert_allclose(got, refn, atol=tol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("NS,gather", [(1, False), (2, False), (1, True), (2, True)])
 def test_pallas_raw_code_matches_encoded(NS, gather):
     """RawCode (in-kernel positional code) == pre-encoded input, for the dense

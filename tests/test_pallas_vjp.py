@@ -19,6 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-module: real torch training / Pallas-interpreter sweeps - the slow tier
+pytestmark = pytest.mark.slow
+
 from pixelnerf_tpu.models.resnetfc import ResnetFC
 from pixelnerf_tpu.ops import resnetfc_pallas as rp
 from pixelnerf_tpu.ops.resnetfc_vjp import resnetfc_pallas_diff

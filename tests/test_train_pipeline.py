@@ -130,6 +130,7 @@ def test_every_batch_key_has_a_sharding():
         batch_shardings(mesh, {"new_key": batch["rays"]})
 
 
+@pytest.mark.slow
 def test_training_loss_decreases_and_resumes(tmp_path):
     conf, net, ds, renderer, variables, args, trainer = _build(tmp_path)
     data = collate([ds[0], ds[1]])
@@ -160,6 +161,7 @@ def test_training_loss_decreases_and_resumes(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_alpha_prior_epoch_gated(tmp_path):
     """loss.alpha with lambda_alpha > 0 wires the Neural-Volumes alpha prior
     (reference loss.py:4-37) into the jitted step: inactive before
@@ -205,6 +207,7 @@ def test_alpha_prior_epoch_gated(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_mask_supervised_alpha_loss(tmp_path):
     """loss.lambda_alpha_mask > 0 adds mask-supervised pixel alpha ('am'
     term) through the Trainer: prepare_ray_batch carries the sampled mask,
@@ -368,6 +371,7 @@ def test_render_simple_u8_wire_format_matches_f32():
     np.testing.assert_allclose(d_m, d_u, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_trainer_mesh_sharded_step(tmp_path):
     """Trainer with a ("data","rays") mesh runs sharded steps that match the
     single-device trainer numerically."""
@@ -392,6 +396,7 @@ def test_trainer_mesh_sharded_step(tmp_path):
     np.testing.assert_allclose(ld1["grad_norm"], ld2["grad_norm"], rtol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nviews", ["1", "2"])
 def test_trainer_fused_mlp_matches_xla(tmp_path, monkeypatch, nviews):
     """Training with the fused Pallas field kernel (custom-VJP backward,
