@@ -159,6 +159,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         if bbox_frac > 0
         else np.zeros(steps, bool)
     )
+    t_prep0 = time.perf_counter()
     batches = [
         prepare_ray_batch(
             bbox_data if use_bbox[i] else data, 1, 1024, z_near, z_far,
@@ -166,6 +167,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         )
         for i in range(steps)
     ]
+    host_prep_s = time.perf_counter() - t_prep0
     rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
     gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
     fixed = {
@@ -214,6 +216,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     t0 = time.perf_counter()
     parts = []
     start = 0
+    compile_s = None
     while start < steps:
         sl = slice(start, start + min(seg, steps - start))
         state, ls = run(
@@ -221,11 +224,18 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
             jax.random.fold_in(jax.random.PRNGKey(2), start),
         )
         parts.append(np.asarray(ls))
+        if compile_s is None:
+            # first segment's wall = trace+compile + one segment of steps;
+            # the attribution line below separates it from the steady rest
+            compile_s = time.perf_counter() - t0
         start = sl.stop
     losses = np.concatenate(parts)
+    train_s = time.perf_counter() - t0
     log(
-        f"bench: quick-train {steps} steps in "
-        f"{time.perf_counter() - t0:.1f}s, loss {losses[0]:.4f} -> "
+        f"bench: quick-train {steps} steps in {train_s:.1f}s "
+        f"(host batch prep {host_prep_s:.1f}s, first segment incl. "
+        f"compile {compile_s:.1f}s, steady segments "
+        f"{train_s - compile_s:.1f}s), loss {losses[0]:.4f} -> "
         f"{np.mean(losses[-10:]):.4f}"
     )
     return {"params": state.params, "batch_stats": state.batch_stats}
@@ -645,7 +655,17 @@ def main():
         bench_train()
         return
 
+    phases = {}
+    t_phase = time.perf_counter()
+
+    def phase(name):
+        nonlocal t_phase
+        now = time.perf_counter()
+        phases[name] = round(now - t_phase, 1)
+        t_phase = now
+
     s = setup_scene()
+    phase("setup(train+encode)")
     pipeline, variables, scene, rays, chunk, rng = (
         s.pipeline, s.variables, s.scene, s.rays, s.chunk, s.rng,
     )
@@ -657,6 +677,7 @@ def main():
         # an (all-background) render would make any pruning "win" vacuous
         rgb_dense, fg_frac = s.render_dense_reference()
         log(f"bench: dense-render foreground fraction {fg_frac:.3f}")
+        phase("dense_ref")
         if fg_frac < 0.03:
             log("bench: scene sanity failed (empty render); accel disabled")
             use_accel = False
@@ -671,6 +692,7 @@ def main():
         pipeline.set_accel_mode(mode)
         pipeline.build_accel(variables, scene, rays, ray_batch_size=chunk)
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
+        phase("grid_build")
         while pipeline.accel is not None:
             rgb_pruned, _ = pipeline.render_simple(
                 variables, scene, rays, rng, ray_batch_size=chunk, pack="u8"
@@ -686,14 +708,21 @@ def main():
             else:
                 log("bench: PSNR gate failed; disabling accel for timing")
                 pipeline.accel = None
+        phase("psnr_gate")
 
     # warmup / compile
     pipeline.render_simple(
         variables, scene, rays, rng, ray_batch_size=chunk, pack="u8"
     )
+    phase("warmup_compile")
 
     rate, rates = measure_steady(s)
+    phase("timed_rounds")
     log("bench: round rates " + ", ".join(f"{r:,.0f}" for r in rates))
+    log(
+        "bench: phase wall seconds "
+        + ", ".join(f"{k}={v}" for k, v in phases.items())
+    )
     rays_per_sec = rate / s.n_chips
 
     print(

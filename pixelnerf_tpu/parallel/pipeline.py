@@ -335,6 +335,8 @@ class RenderPipeline:
             smaller than ``device_chunk``.
         """
         import os
+        import sys
+        import time
 
         from ..render.accel import aabb_from_rays, build_occupancy_grid
 
@@ -370,6 +372,7 @@ class RenderPipeline:
             self._jitted[key] = jax.jit(build)
         variables = self._maybe_cast(variables) if self.compute_dtype else variables
         scene = self._maybe_cast(scene) if self.compute_dtype else scene
+        t0 = time.perf_counter()
         self.accel = self._jitted[key](
             variables,
             scene,
@@ -377,7 +380,15 @@ class RenderPipeline:
             jnp.asarray(hi),
             jnp.float32(eps_alpha / max(delta, 1e-6)),
         )
+        jax.block_until_ready(self.accel)
+        t1 = time.perf_counter()
         self._autoselect_capacity(rays_np, ray_batch_size=ray_batch_size)
+        print(
+            f"accel: build phases - grid program {t1 - t0:.1f}s "
+            f"(incl. compile on first call), capacity probe "
+            f"{time.perf_counter() - t1:.1f}s",
+            file=sys.stderr,
+        )
         return self.accel
 
     def _autoselect_capacity(
