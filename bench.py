@@ -88,11 +88,24 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # tested rate at which this wide net escapes the all-white plateau:
     # measured fg_frac after 4000 steps — 1e-3: 0.000, 3e-4: 0.000 (loss
     # stuck at 0.32), 1e-4: 0.350 (loss 0.159, object renders)
-    opt = optax.adam(float(os.environ.get("BENCH_TRAIN_LR", "1e-4")))
+    # BENCH_TRAIN_SCHED=cosine adds linear warmup (BENCH_TRAIN_WARMUP steps,
+    # default 200) + cosine decay to 10% of peak — at the same peak lr this
+    # reaches a given loss in fewer steps than the constant-lr reference
+    # recipe (swept: scripts/study_train_recipe.py); default stays constant
+    # (the published round-2/3 control field depends on it).
+    lr = float(os.environ.get("BENCH_TRAIN_LR", "1e-4"))
+    if os.environ.get("BENCH_TRAIN_SCHED", "const") == "cosine":
+        warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", 200))
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, steps, end_value=0.1 * lr
+        )
+    opt = optax.adam(lr)
     state = TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=opt.init(params),
+        # jitted: eager optax init dispatches one zeros() per param leaf,
+        # each paying the remote-TPU tunnel round trip
+        opt_state=jax.jit(opt.init)(params),
         step=jnp.zeros((), jnp.int32),
     )
     # light sampling is enough to shape the density field.  white_bkgd must
@@ -160,14 +173,16 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         else np.zeros(steps, bool)
     )
     t_prep0 = time.perf_counter()
+    R = int(os.environ.get("BENCH_TRAIN_R", 1024))
     batches = [
         prepare_ray_batch(
-            bbox_data if use_bbox[i] else data, 1, 1024, z_near, z_far,
+            bbox_data if use_bbox[i] else data, 1, R, z_near, z_far,
             bool(use_bbox[i]), host_rng,
         )
         for i in range(steps)
     ]
     host_prep_s = time.perf_counter() - t_prep0
+    t_up0 = time.perf_counter()
     rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
     gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
     fixed = {
@@ -175,6 +190,8 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         for k in batches[0]
         if k not in ("rays", "rgb_gt")
     }
+    jax.block_until_ready((rays_T, gt_T))
+    upload_s = time.perf_counter() - t_up0
 
     # sigma noise off by default (the positive bias init replaces it; the
     # noise_scale ramp stays a traced argument so schedules need no
@@ -231,13 +248,33 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         start = sl.stop
     losses = np.concatenate(parts)
     train_s = time.perf_counter() - t0
+    # model-math MFU over the STEADY segments (3x-fwd field math; same
+    # accounting as bench_train — compile excluded, recompute not counted)
+    mlp = net.mlp_coarse
+    mac = (
+        net.d_in * mlp.d_hidden
+        + min(mlp.combine_layer, mlp.n_blocks) * net.d_latent * mlp.d_hidden
+        + mlp.n_blocks * 2 * mlp.d_hidden * mlp.d_hidden
+        + mlp.d_hidden * 4
+    )
+    union = cfg.n_coarse + cfg.n_fine + cfg.n_fine_depth
+    flops_step = 3 * 2 * mac * R * (cfg.n_coarse + union)
+    steady_s = train_s - compile_s
+    steady_steps = max(steps - seg, 1)
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+    mfu = flops_step * steady_steps / max(steady_s, 1e-9) / peak
     log(
         f"bench: quick-train {steps} steps in {train_s:.1f}s "
-        f"(host batch prep {host_prep_s:.1f}s, first segment incl. "
-        f"compile {compile_s:.1f}s, steady segments "
-        f"{train_s - compile_s:.1f}s), loss {losses[0]:.4f} -> "
+        f"(host batch prep {host_prep_s:.1f}s, H2D upload {upload_s:.1f}s, "
+        f"first segment incl. compile {compile_s:.1f}s, steady segments "
+        f"{steady_s:.1f}s = {mfu * 100:.0f}% MFU), loss {losses[0]:.4f} -> "
         f"{np.mean(losses[-10:]):.4f}"
     )
+    quick_train.last_info = {
+        "steps": steps, "R": R, "train_s": train_s, "steady_s": steady_s,
+        "loss_final": float(np.mean(losses[-10:])), "mfu": mfu,
+        "losses": losses,
+    }
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
@@ -315,14 +352,28 @@ def setup_scene():
     z_range = None
     if os.environ.get("BENCH_Z"):
         z_range = tuple(float(x) for x in os.environ["BENCH_Z"].split(":"))
+    t_sub = time.perf_counter()
+    sub = {}
+
+    def subphase(name):
+        nonlocal t_sub
+        now = time.perf_counter()
+        sub[name] = round(now - t_sub, 1)
+        t_sub = now
+
     ds = SyntheticDataset(
         n_objs=1, n_views=max(4, ns), image_size=(H, W),
         scene_kind=scene_kind, z_range=z_range,
     )
     sample = ds[0]
     focal = np.float32(sample["focal"])
+    subphase("synth_data")
 
-    variables = net.init(
+    # jit the init: flax's Module.init runs eagerly op-by-op, and through the
+    # remote-TPU tunnel every one of those thousands of dispatches pays a
+    # round trip (measured 153 s for the multiscale conf); one jitted (and
+    # persistently cached) program runs it in seconds
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(sample["images"][None, :1]),
         jnp.asarray(sample["poses"][None, :1]),
@@ -330,6 +381,8 @@ def setup_scene():
         jnp.zeros((1, 8, 3), jnp.float32),
         jnp.zeros((1, 8, 3), jnp.float32),
     )
+    jax.block_until_ready(variables)
+    subphase("net_init")
 
     train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 4000))
     if train_steps > 0:
@@ -340,6 +393,7 @@ def setup_scene():
             train_net, variables, sample, focal, use_viewdirs, train_steps,
             white_bkgd=white_bkgd, z_near=ds.z_near, z_far=ds.z_far,
         )
+        subphase("quick_train")
 
     scene = net.apply(
         variables,
@@ -347,6 +401,12 @@ def setup_scene():
         jnp.asarray(sample["poses"][None, :ns]),
         jnp.asarray(focal),
         method=PixelNeRFNet.encode,
+    )
+    jax.block_until_ready(scene)
+    subphase("encode")
+    log(
+        "bench: setup sub-phases "
+        + ", ".join(f"{k}={v}" for k, v in sub.items())
     )
 
     # reference renderer defaults: 64 coarse + (16 importance + 16 depth) fine
@@ -523,7 +583,7 @@ def bench_train():
         "focal": np.full((SB,), focal, np.float32),
     }
 
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(data["images"][:1, :1]),
         jnp.asarray(data["poses"][:1, :1]),
@@ -544,7 +604,7 @@ def bench_train():
     state = TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=opt.init(variables["params"]),
+        opt_state=jax.jit(opt.init)(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
     nviews = int(os.environ.get("BENCH_TRAIN_NVIEWS", 1))
@@ -693,21 +753,15 @@ def main():
         pipeline.build_accel(variables, scene, rays, ray_batch_size=chunk)
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
         phase("grid_build")
-        while pipeline.accel is not None:
-            rgb_pruned, _ = pipeline.render_simple(
-                variables, scene, rays, rng, ray_batch_size=chunk, pack="u8"
-            )
-            psnr = psnr_vs(rgb_pruned, rgb_dense)
-            log(f"bench: {mode}-vs-dense PSNR {psnr:.1f} dB")
-            if psnr >= 30.0:
-                break
-            if mode == "proposal":
-                mode = "rays"
-                pipeline.set_accel_mode(mode)
-                log("bench: PSNR gate failed; falling back to accel_mode=rays")
-            else:
-                log("bench: PSNR gate failed; disabling accel for timing")
-                pipeline.accel = None
+        # shared quality ladder (RenderPipeline.gate_accel_mode):
+        # proposal -> proposal+8 -> rays -> dense
+        label, psnrs = pipeline.gate_accel_mode(
+            variables, scene, rays, rng, rgb_dense,
+            ray_batch_size=chunk, pack="u8",
+        )
+        for rung, p in psnrs.items():
+            log(f"bench: {rung}-vs-dense PSNR {p:.1f} dB")
+        log(f"bench: accel gate settled on {label}")
         phase("psnr_gate")
 
     # warmup / compile

@@ -297,7 +297,9 @@ def main():
         src_poses = poses[src_view_mask][None]
 
         if variables is None:
-            variables = net.init(
+            # jitted init: flax Module.init otherwise dispatches thousands
+            # of eager ops, each paying a remote-TPU tunnel round trip
+            variables = jax.jit(net.init)(
                 jax.random.PRNGKey(0),
                 jnp.asarray(src_images),
                 jnp.asarray(src_poses),
@@ -341,38 +343,20 @@ def main():
                 **build_kw,
             )
             if not args.no_accel_gate and pipeline.accel is not None:
-                # per-object self-gate (gen_video's frame-0 ladder): the
-                # first target view rendered dense and pruned with the same
-                # key; < 30 dB steps down proposal -> rays -> dense so a
-                # grid that misrepresents THIS field can't poison metrics
-                view0 = all_rays[: H * W]
-                rng0 = jax.random.PRNGKey(11)
-                grid = pipeline.accel
-                pipeline.accel = None
-                rgb_d, _ = pipeline.render_simple(
-                    variables, scene, view0, rng0,
+                # per-object self-gate: the first target view rendered dense
+                # and pruned with the same key, walking the shared quality
+                # ladder (RenderPipeline.gate_accel_mode: proposal ->
+                # proposal+8 -> rays -> dense) so a grid that misrepresents
+                # THIS field can't poison metrics
+                label, psnrs = pipeline.gate_accel_mode(
+                    variables, scene, all_rays[: H * W],
+                    jax.random.PRNGKey(11),
                     ray_batch_size=args.ray_batch_size,
                 )
-                pipeline.accel = grid
-                mode = args.accel
-                while pipeline.accel is not None:
-                    rgb_p, _ = pipeline.render_simple(
-                        variables, scene, view0, rng0,
-                        ray_batch_size=args.ray_batch_size,
-                    )
-                    mse = float(np.mean((rgb_p - rgb_d) ** 2))
-                    gate_psnr = -10.0 * np.log10(max(mse, 1e-12))
-                    if gate_psnr >= 30.0:
-                        break
-                    if mode == "proposal":
-                        mode = "rays"
-                        pipeline.set_accel_mode(mode)
-                    else:
-                        pipeline.accel = None
-                print(
-                    f"  accel gate: {gate_psnr:.1f} dB -> "
-                    f"{mode if pipeline.accel is not None else 'dense'}"
+                trail = ", ".join(
+                    f"{k} {v:.1f} dB" for k, v in psnrs.items()
                 )
+                print(f"  accel gate: {trail} -> {label}")
         all_rgb, all_depth = pipeline.render_simple(
             variables, scene, all_rays, obj_rng, ray_batch_size=args.ray_batch_size
         )

@@ -185,7 +185,9 @@ def main():
     src_poses = poses[src_view][None]
     init_xyz = jnp.zeros((1, 8, 3), jnp.float32)
     init_dirs = jnp.zeros((1, 8, 3), jnp.float32)
-    variables = net.init(
+    # jitted init: flax Module.init otherwise dispatches thousands of eager
+    # ops, each paying a remote-TPU tunnel round trip (~minutes wall)
+    variables = jax.jit(net.init)(
         rng,
         jnp.asarray(src_images),
         jnp.asarray(src_poses),
@@ -221,34 +223,19 @@ def main():
             ray_batch_size=args.ray_batch_size,
         )
         if auto and pipeline.accel is not None:
-            # self-gate (bench.py's logic, per video): render frame 0 both
-            # dense and pruned with the same key — if the grid misrepresents
-            # the field (< 30 dB), step down to conservative ray compaction.
-            # Costs two extra frame renders (programs land in the persistent
-            # compilation cache, so reruns only pay the render).
+            # self-gate, per video: frame 0 rendered dense and pruned with the
+            # same key, walking the shared quality ladder
+            # (RenderPipeline.gate_accel_mode: proposal -> proposal+8 ->
+            # rays -> dense).  Costs a few extra frame renders (programs land
+            # in the persistent compilation cache, so reruns only pay the
+            # render).
             frame0 = render_rays_all[: H * W]
-            rng0 = jax.random.PRNGKey(7)
-            grid = pipeline.accel
-            pipeline.accel = None
-            rgb_d, _ = pipeline.render_simple(
-                variables, scene, frame0, rng0,
+            label, psnrs = pipeline.gate_accel_mode(
+                variables, scene, frame0, jax.random.PRNGKey(7),
                 ray_batch_size=args.ray_batch_size,
             )
-            pipeline.accel = grid
-            rgb_p, _ = pipeline.render_simple(
-                variables, scene, frame0, rng0,
-                ray_batch_size=args.ray_batch_size,
-            )
-            mse = float(np.mean((rgb_p - rgb_d) ** 2))
-            psnr = -10.0 * np.log10(max(mse, 1e-12))
-            if psnr >= 30.0:
-                print(f"accel auto: proposal passes self-gate ({psnr:.1f} dB)")
-            else:
-                pipeline.set_accel_mode("rays")
-                print(
-                    f"accel auto: proposal failed self-gate ({psnr:.1f} dB); "
-                    "using ray compaction"
-                )
+            trail = ", ".join(f"{k} {v:.1f} dB" for k, v in psnrs.items())
+            print(f"accel auto: self-gate settled on {label} ({trail})")
 
     print("Rendering", args.num_views * H * W, "rays")
     rgb_fine, _depth = pipeline.render_simple(

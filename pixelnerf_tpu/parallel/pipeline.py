@@ -382,6 +382,10 @@ class RenderPipeline:
         )
         jax.block_until_ready(self.accel)
         t1 = time.perf_counter()
+        # kept for gate_accel_mode: capacity re-selection after an operating-
+        # point change must see the same ray population the build sized for
+        self._build_rays_np = rays_np
+        self._build_ray_batch_size = ray_batch_size
         self._autoselect_capacity(rays_np, ray_batch_size=ray_batch_size)
         print(
             f"accel: build phases - grid program {t1 - t0:.1f}s "
@@ -521,6 +525,119 @@ class RenderPipeline:
         self.renderer.base_cfg = dataclasses.replace(
             self.renderer.base_cfg, accel_mode=mode
         )
+
+    def gate_accel_mode(
+        self,
+        variables,
+        scene,
+        gate_rays,
+        rng,
+        rgb_dense=None,
+        *,
+        ray_batch_size: Optional[int] = None,
+        pack: str = "f32",
+        psnr_gate: float = 30.0,
+    ):
+        """Settle the pruning operating point against a dense reference.
+
+        The quality ladder every accel consumer walks (bench.py, study_scenes,
+        gen_video ``--accel_mode auto``, eval ``--accel``): render
+        ``gate_rays`` pruned and compare with the dense render; on
+        disagreement (< ``psnr_gate`` dB) step DOWN —
+
+          ``proposal`` (config draw count)
+          -> ``proposal+8`` (8 extra importance draws: sharp/overfit fields
+             whose pdf misses fine density structure at the lean count pass
+             here — measured on the sn64_multiscale bench field: 28.6 dB /
+             771.7k rays/s at 16 draws vs 30.9 dB / 599.8k at 24, while
+             denser probe ladders made agreement WORSE, 64 probes -> 27.8 dB)
+          -> ``rays`` (compaction only; identical coarse z draw)
+          -> dense (``accel = None``).
+
+        A ladder that starts at ``rays``/``samples`` only has the dense rung
+        below it.  Returns ``(label, psnrs)`` where ``label`` is the settled
+        rung ("proposal", "proposal+8", "rays", "samples", "dense") and
+        ``psnrs`` maps each tried rung to its PSNR-vs-dense.  The settled
+        renderer config persists (a passing ``proposal+8`` keeps the larger
+        draw count for subsequent renders); on full failure the original
+        config is restored and pruning is disabled.
+
+        :param rgb_dense: dense render of ``gate_rays`` under ``pack`` — pass
+            the one a caller already has, or None to render it here (pruning
+            temporarily disabled, same rng/chunking).
+        """
+        import numpy as np
+
+        if self.accel is None:
+            return "dense", {}
+        # the gate owns the proposal draw-count knob: each call starts from
+        # the pristine count, so per-object gates (eval.py) can't compound a
+        # previous object's +8 into +16, +24, ...
+        if not hasattr(self, "_gate_pristine_samples"):
+            self._gate_pristine_samples = (
+                self.renderer.base_cfg.accel_proposal_samples
+            )
+        elif (
+            self.renderer.base_cfg.accel_proposal_samples
+            != self._gate_pristine_samples
+        ):
+            self.renderer.base_cfg = dataclasses.replace(
+                self.renderer.base_cfg,
+                accel_proposal_samples=self._gate_pristine_samples,
+            )
+        base_cfg = self.renderer.base_cfg
+        if rgb_dense is None:
+            grid, chunk = self.accel, self.accel_chunk
+            self.accel = None
+            rgb_dense, _ = self.render_simple(
+                variables, scene, gate_rays, rng,
+                ray_batch_size=ray_batch_size or 50000, pack=pack,
+            )
+            self.accel, self.accel_chunk = grid, chunk
+        rgb_dense = np.asarray(rgb_dense, np.float32)
+
+        def _denser_proposal():
+            self.renderer.base_cfg = dataclasses.replace(
+                self.renderer.base_cfg,
+                accel_proposal_samples=base_cfg.accel_proposal_samples + 8,
+            )
+            rays_np = getattr(self, "_build_rays_np", None)
+            if rays_np is not None:
+                self._autoselect_capacity(
+                    rays_np,
+                    ray_batch_size=getattr(self, "_build_ray_batch_size", None),
+                )
+
+        def _to_rays():
+            self.renderer.base_cfg = base_cfg
+            self.set_accel_mode("rays")
+
+        if base_cfg.accel_mode == "proposal":
+            ladder = [("proposal", None), ("proposal+8", _denser_proposal),
+                      ("rays", _to_rays)]
+        else:
+            ladder = [(base_cfg.accel_mode, None)]
+
+        psnrs = {}
+        for label, setup in ladder:
+            if setup is not None:
+                setup()
+            if self.accel is None:  # capacity re-selection disabled pruning
+                break
+            rgb_p, _ = self.render_simple(
+                variables, scene, gate_rays, rng,
+                ray_batch_size=ray_batch_size or 50000, pack=pack,
+            )
+            mse = float(
+                np.mean((np.asarray(rgb_p, np.float32) - rgb_dense) ** 2)
+            )
+            psnrs[label] = -10.0 * float(np.log10(max(mse, 1e-12)))
+            if psnrs[label] >= psnr_gate:
+                return label, psnrs
+        self.renderer.base_cfg = base_cfg
+        self.accel = None
+        self.accel_chunk = None
+        return "dense", psnrs
 
     def render(
         self,

@@ -201,22 +201,15 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
         return row
     row["occ_frac"] = round(float(occupancy_fraction(s.pipeline.accel)), 4)
 
-    # the bench's self-gate ladder: proposal -> rays -> dense
-    while s.pipeline.accel is not None:
-        rgb_pruned, _ = s.pipeline.render_simple(
-            s.variables, s.scene, s.rays, s.rng, ray_batch_size=s.chunk,
-            pack="u8",
-        )
-        psnr = bench.psnr_vs(rgb_pruned, rgb_dense)
-        row[f"psnr_{mode}"] = round(psnr, 1)
-        if psnr >= 30.0:
-            break
-        if mode == "proposal":
-            mode = "rays"
-            s.pipeline.set_accel_mode(mode)
-        else:
-            s.pipeline.accel = None
-    row["mode"] = mode if s.pipeline.accel is not None else "dense"
+    # the shared self-gate ladder (RenderPipeline.gate_accel_mode):
+    # proposal -> proposal+8 -> rays -> dense
+    mode, psnrs = s.pipeline.gate_accel_mode(
+        s.variables, s.scene, s.rays, s.rng, rgb_dense,
+        ray_batch_size=s.chunk, pack="u8",
+    )
+    for rung, p in psnrs.items():
+        row[f"psnr_{rung}"] = round(p, 1)
+    row["mode"] = mode
 
     if s.pipeline.accel is not None:
         s.pipeline.render_simple(

@@ -931,3 +931,91 @@ def test_eval_accel_metric_delta_vs_dense():
     a_ssim = np.mean([M.ssim(accel[i], gt[i], data_range=1.0) for i in range(2)])
     assert abs(d_psnr - a_psnr) <= 0.1, (d_psnr, a_psnr)
     assert abs(d_ssim - a_ssim) <= 1e-3, (d_ssim, a_ssim)
+
+
+class _FakeGateRenders:
+    """render_simple stand-in: returns preset frames in call order."""
+
+    def __init__(self, frames):
+        self.frames = list(frames)
+        self.calls = 0
+
+    def __call__(self, *a, **k):
+        self.calls += 1
+        return self.frames.pop(0), None
+
+
+def _gate_pipeline():
+    """A RenderPipeline shell sufficient for gate_accel_mode: real renderer
+    config dataclass, dummy grid, capacity re-selection stubbed out."""
+    from pixelnerf_tpu.parallel import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+
+    renderer = NeRFRenderer(
+        RenderConfig(
+            n_coarse=8, n_fine=4, accel_mode="proposal",
+            accel_proposal_samples=16,
+        )
+    )
+    pipe = RenderPipeline.__new__(RenderPipeline)
+    pipe.renderer = renderer
+    pipe.accel = object()
+    pipe.accel_chunk = None
+    pipe._autoselect_capacity = lambda *a, **k: None
+    return pipe
+
+
+def test_gate_ladder_passes_at_default_point():
+    pipe = _gate_pipeline()
+    ref = np.zeros((16, 3), np.float32)
+    pipe.render_simple = _FakeGateRenders([ref.copy()])
+    label, psnrs = pipe.gate_accel_mode(None, None, None, None, ref)
+    assert label == "proposal" and pipe.accel is not None
+    assert psnrs["proposal"] > 30.0
+    assert pipe.renderer.base_cfg.accel_proposal_samples == 16
+
+
+def test_gate_ladder_rescues_with_denser_proposal():
+    """A sharp field that misses the lean draw count must settle on the +8
+    rung (the sn64_multiscale case: 28.6 dB at 16 draws, 30.9 at 24) and the
+    settled config must KEEP the larger draw count for subsequent renders."""
+    pipe = _gate_pipeline()
+    ref = np.zeros((16, 3), np.float32)
+    bad = np.full((16, 3), 0.25, np.float32)  # ~12 dB vs ref
+    pipe.render_simple = _FakeGateRenders([bad, ref.copy()])
+    label, psnrs = pipe.gate_accel_mode(None, None, None, None, ref)
+    assert label == "proposal+8"
+    assert pipe.accel is not None
+    assert pipe.renderer.base_cfg.accel_proposal_samples == 24
+    assert pipe.renderer.base_cfg.accel_mode == "proposal"
+    assert set(psnrs) == {"proposal", "proposal+8"}
+
+    # a LATER gate (per-object eval loop) must restart from the pristine
+    # count — +8 rungs must not compound across objects
+    pipe.accel = object()
+    pipe.render_simple = _FakeGateRenders([ref.copy()])
+    label2, _ = pipe.gate_accel_mode(None, None, None, None, ref)
+    assert label2 == "proposal"
+    assert pipe.renderer.base_cfg.accel_proposal_samples == 16
+
+
+def test_gate_ladder_steps_down_to_rays_then_dense():
+    pipe = _gate_pipeline()
+    ref = np.zeros((16, 3), np.float32)
+    bad = np.full((16, 3), 0.25, np.float32)
+    # proposal, proposal+8, rays all disagree -> dense, config restored
+    pipe.render_simple = _FakeGateRenders([bad, bad, bad])
+    label, psnrs = pipe.gate_accel_mode(None, None, None, None, ref)
+    assert label == "dense"
+    assert pipe.accel is None and pipe.accel_chunk is None
+    assert pipe.renderer.base_cfg.accel_proposal_samples == 16
+    assert pipe.renderer.base_cfg.accel_mode == "proposal"
+    assert set(psnrs) == {"proposal", "proposal+8", "rays"}
+
+    # rays rung passing keeps compaction
+    pipe2 = _gate_pipeline()
+    pipe2.render_simple = _FakeGateRenders([bad, bad, ref.copy()])
+    label2, _ = pipe2.gate_accel_mode(None, None, None, None, ref)
+    assert label2 == "rays"
+    assert pipe2.accel is not None
+    assert pipe2.renderer.base_cfg.accel_mode == "rays"
