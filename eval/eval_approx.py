@@ -113,7 +113,9 @@ def main():
         pri_poses = np.stack([poses[b, src_view[b]] for b in range(SB)])
 
         if variables is None:
-            variables = net.init(
+            # jitted init: flax Module.init otherwise dispatches thousands
+            # of eager ops, each paying a remote-TPU tunnel round trip
+            variables = jax.jit(net.init)(
                 jax.random.PRNGKey(0),
                 jnp.asarray(pri_images[:1]),
                 jnp.asarray(pri_poses[:1]),

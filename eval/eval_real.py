@@ -162,7 +162,9 @@ def main():
         src_poses = cam_pose[None, None]
 
         if variables is None:
-            variables = net.init(
+            # jitted init: flax Module.init otherwise dispatches thousands
+            # of eager ops, each paying a remote-TPU tunnel round trip
+            variables = jax.jit(net.init)(
                 jax.random.PRNGKey(0),
                 jnp.asarray(src_images),
                 jnp.asarray(src_poses),

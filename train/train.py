@@ -132,7 +132,9 @@ def main():
     init_poses = jnp.asarray(sample["poses"][None, :max_nviews], jnp.float32)
     init_focal = jnp.asarray(np.asarray(sample["focal"], np.float32))
     init_c = sample.get("c")
-    variables = net.init(
+    # jitted init: flax Module.init otherwise dispatches thousands of eager
+    # ops, each paying a remote-TPU tunnel round trip (~minutes wall)
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         init_images,
         init_poses,
