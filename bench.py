@@ -249,20 +249,26 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     losses = np.concatenate(parts)
     train_s = time.perf_counter() - t0
     # model-math MFU over the STEADY segments (3x-fwd field math; same
-    # accounting as bench_train — compile excluded, recompute not counted)
-    mlp = net.mlp_coarse
-    mac = (
-        net.d_in * mlp.d_hidden
-        + min(mlp.combine_layer, mlp.n_blocks) * net.d_latent * mlp.d_hidden
-        + mlp.n_blocks * 2 * mlp.d_hidden * mlp.d_hidden
-        + mlp.d_hidden * 4
-    )
+    # accounting as bench_train — compile excluded, recompute not counted).
+    # Dims come from the param tree (flax setup fields aren't readable
+    # outside apply): lin_in (d_in, H), lin_z_k (d_latent, H), blocks_k 2x
+    # (H, H), lin_out (H, d_out).
+    pm = flax.serialization.to_state_dict(state.params).get("mlp_coarse", {})
+    H_, d_out_ = np.shape(pm["lin_out"]["kernel"]) if "lin_out" in pm else (1, 4)
+    nb_ = sum(1 for k in pm if k.startswith("blocks_"))
+    nz_ = sum(1 for k in pm if k.startswith("lin_z_"))
+    d_in_ = np.shape(pm["lin_in"]["kernel"])[0] if "lin_in" in pm else 0
+    d_lat_ = np.shape(pm["lin_z_0"]["kernel"])[0] if nz_ else 0
+    mac = d_in_ * H_ + nz_ * d_lat_ * H_ + nb_ * 2 * H_ * H_ + H_ * d_out_
     union = cfg.n_coarse + cfg.n_fine + cfg.n_fine_depth
     flops_step = 3 * 2 * mac * R * (cfg.n_coarse + union)
     steady_s = train_s - compile_s
-    steady_steps = max(steps - seg, 1)
+    steady_steps = steps - seg
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
-    mfu = flops_step * steady_steps / max(steady_s, 1e-9) / peak
+    if steady_steps > 0 and steady_s > 0.5:
+        mfu = flops_step * steady_steps / steady_s / peak
+    else:  # single-segment run: compile not separable, report inclusive
+        mfu = flops_step * steps / max(train_s, 1e-9) / peak
     log(
         f"bench: quick-train {steps} steps in {train_s:.1f}s "
         f"(host batch prep {host_prep_s:.1f}s, H2D upload {upload_s:.1f}s, "

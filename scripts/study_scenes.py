@@ -70,7 +70,8 @@ DEFAULT_CASES = [
     ("multi3", "srn", 3, "", _HARD),
 ]
 _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
-          "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS")
+          "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS",
+          "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R")
 
 
 def _traced_gt(s):
