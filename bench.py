@@ -43,6 +43,13 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 50_000.0
 
+# The round-3 driver-captured quick-train control (BENCH_r03 tail): 4000
+# steps x 1024 rays in 95.9 s wall to final loss 0.1586.  quick_train prints
+# its progress rate in these units so recipe changes stay comparable.
+_R3_CONTROL_RAYS = 4000 * 1024
+_R3_CONTROL_WALL_S = 95.9
+_R3_CONTROL_LOSS = 0.1586
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -227,9 +234,11 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
 
     # segment the scan: a single >~1000-step dispatch runs long enough to
     # trip the TPU worker watchdog through the tunnel (measured crash at
-    # 4000); equal-length segments reuse one compiled program (a shorter
-    # tail segment costs at most one extra compile)
-    seg = min(1000, steps)
+    # 4000); equal-length segments (steps divided into the fewest <=1000-step
+    # parts) reuse ONE compiled program for every segment — a shorter tail
+    # segment would pay a whole second compile (~14 s) for nothing
+    n_segs = -(-steps // 1000)
+    seg = -(-steps // n_segs)
     t0 = time.perf_counter()
     parts = []
     start = 0
@@ -269,13 +278,33 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         mfu = flops_step * steady_steps / steady_s / peak
     else:  # single-segment run: compile not separable, report inclusive
         mfu = flops_step * steps / max(train_s, 1e-9) / peak
+    loss_final = float(np.mean(losses[-10:]))
     log(
         f"bench: quick-train {steps} steps in {train_s:.1f}s "
         f"(host batch prep {host_prep_s:.1f}s, H2D upload {upload_s:.1f}s, "
         f"first segment incl. compile {compile_s:.1f}s, steady segments "
         f"{steady_s:.1f}s = {mfu * 100:.0f}% MFU), loss {losses[0]:.4f} -> "
-        f"{np.mean(losses[-10:]):.4f}"
+        f"{loss_final:.4f}"
     )
+    # effective training rate in ROUND-3-CONTROL units: the r3 bench trained
+    # 4000x1024 rays in 95.9 s to final loss 0.1586 (BENCH_r03 tail).  A
+    # recipe that reaches the same (or better) loss in less wall delivers the
+    # same field faster — control-rays / wall is the honest progress rate
+    # (raw rays/s would reward padding steps that add no convergence).
+    wall_s = host_prep_s + upload_s + train_s
+    if loss_final <= _R3_CONTROL_LOSS + 5e-4:
+        eff = _R3_CONTROL_RAYS / wall_s
+        log(
+            f"bench: quick-train effective {eff:,.0f} control-rays/s over "
+            f"{wall_s:.1f}s wall = {eff / (_R3_CONTROL_RAYS / _R3_CONTROL_WALL_S):.2f}x "
+            f"the r3 control recipe, at matched final loss "
+            f"({loss_final:.4f} <= {_R3_CONTROL_LOSS})"
+        )
+    else:
+        log(
+            f"bench: quick-train final loss {loss_final:.4f} above the r3 "
+            f"control {_R3_CONTROL_LOSS}; no effective-rate claim"
+        )
     quick_train.last_info = {
         "steps": steps, "R": R, "train_s": train_s, "steady_s": steady_s,
         "loss_final": float(np.mean(losses[-10:])), "mfu": mfu,
@@ -366,6 +395,15 @@ def setup_scene():
         now = time.perf_counter()
         sub[name] = round(now - t_sub, 1)
         t_sub = now
+
+    # warm the tunnel's D2H transfer path with one tiny fetch BEFORE any
+    # timed work: the remote-TPU relay initializes its data channel lazily
+    # on the first device->host read, and under relay congestion that first
+    # read has been measured to stall 100-200 s.  Paying (and printing) it
+    # here keeps a transient stall out of the quick_train/encode sub-phases
+    # so regressions in THOSE numbers stay attributable to code.
+    np.asarray(jnp.zeros((1,), jnp.float32))
+    subphase("tunnel_warmup")
 
     ds = SyntheticDataset(
         n_objs=1, n_views=max(4, ns), image_size=(H, W),
@@ -508,15 +546,24 @@ def timed_round(s: BenchScene, n_passes: int = 3) -> float:
     return n_passes * s.rays.shape[0] / dt
 
 
-def measure_steady(s: BenchScene, max_rounds: int = 6, tol: float = 0.04):
+def measure_steady(s: BenchScene, max_rounds: int = 6, tol: float = 0.04,
+                   min_rounds: int = 4):
     """Timed rounds until the rate is steady (last two within ``tol``);
     returns (median rate, all round rates).  Callers must have rendered at
-    least once already (compile warmup)."""
+    least once already (compile warmup).
+
+    ``min_rounds`` floors the sample count before the stability early-exit:
+    the remote-TPU link jitters per-dispatch latency by up to ~20% on busy
+    days (measured round rates 747k-918k on one setup), and two adjacent
+    LOW rounds otherwise satisfy ``tol`` and freeze the median on the dip."""
     timed_round(s)  # steady-state warmup (second-dispatch caches, allocator)
     rates = [timed_round(s)]
     for _ in range(max_rounds - 1):
         rates.append(timed_round(s))
-        if abs(rates[-1] - rates[-2]) / max(rates[-1], rates[-2]) < tol:
+        if (
+            len(rates) >= min_rounds
+            and abs(rates[-1] - rates[-2]) / max(rates[-1], rates[-2]) < tol
+        ):
             break
     return float(np.median(rates)), rates
 
@@ -565,6 +612,10 @@ def bench_train():
         make_step_fns,
         prepare_ray_batch,
     )
+
+    # warm the tunnel D2H path (see setup_scene): keeps a lazy relay
+    # data-channel init out of the timed segments
+    np.asarray(jnp.zeros((1,), jnp.float32))
 
     here = os.path.dirname(os.path.abspath(__file__))
     conf_name = os.environ.get("BENCH_TRAIN_CONF", "srn")
