@@ -498,7 +498,18 @@ class RenderPipeline:
             f"capacities {cap_c}/{cap_f}; chunk {chunk}",
             file=sys.stderr,
         )
-        key_cap = cap_r if cfg.accel_mode in ("rays", "proposal") else cap_c
+        # The "nothing to prune" rung keys on what each mode actually saves.
+        # rays/samples save ONLY by skipping dead rays/samples, so a ~full
+        # capacity means compaction is pure overhead.  PROPOSAL's win is
+        # structural — the coarse MLP pass is replaced by grid lookups and
+        # the fine union shrinks (160 -> 32 evals/ray) even when every ray is
+        # live — so its rung keys on the SAMPLE capacity: only a fog field
+        # (live samples ~everywhere => near-uniform pdf ~= a lean dense
+        # render that can't pass the quality gate) disables it.  Measured on
+        # the sn64_multiscale bench field (ray live 0.84 -> cap_r 1.0, sample
+        # live 0.47): proposal+8 holds 30.9 dB at ~600k rays/s, 5x the dense
+        # rate the old ray-capacity keying forced it back to.
+        key_cap = cap_r if cfg.accel_mode == "rays" else cap_c
         if key_cap >= 0.95:
             # nothing to prune — compaction would be pure overhead
             print(

@@ -7,6 +7,8 @@ pure addition: pruned renders must match dense renders to tight tolerances
 (pruning only ever removes verified-empty / fully-occluded samples).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -793,6 +795,69 @@ def test_capacity_window_includes_tail_chunk():
     # the tail window is fully live (its padding repeats the live last ray),
     # so capacity >= 0.95 and pruning is disabled — NOT the 0.0625 floor the
     # tail-dropping scan produced
+    assert pipe.accel is None
+
+
+def test_proposal_disable_rung_keys_on_sample_capacity():
+    """PROPOSAL mode keeps pruning when every RAY is live but most SAMPLES
+    are not: its win (coarse MLP pass replaced by grid lookups, lean fine
+    union) doesn't require dead rays.  Only a fog field — live samples
+    everywhere, so the pdf is ~uniform — disables it at build time.
+    The multiscale bench field is exactly the first case (ray live 0.84,
+    sample live 0.47) and was losing 5x to the old ray-capacity keying."""
+    from pixelnerf_tpu.parallel.pipeline import RenderPipeline
+    from pixelnerf_tpu.render.renderer import NeRFRenderer
+
+    R = 8
+    occ = np.zeros((R, R, R), np.float32)
+    occ[:, :, 3:5] = 1.0  # a z-slab: every +z ray crosses it; ~25% of samples
+    slab_grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    N = 1024
+    origins = np.zeros((N, 3), np.float32)
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    rays = np.concatenate(
+        [origins, dirs, np.zeros((N, 1), np.float32),
+         np.ones((N, 1), np.float32)], axis=1,
+    )
+
+    cfg = RenderConfig(
+        n_coarse=8, n_fine=4, n_fine_depth=0, white_bkgd=True,
+        accel_mode="proposal",
+    )
+    pipe = RenderPipeline.__new__(RenderPipeline)  # no model needed
+    pipe.device_chunk = 8192
+    pipe.accel = slab_grid
+    pipe.renderer = NeRFRenderer(cfg)
+    pipe._autoselect_capacity(rays, ray_batch_size=N)
+    assert pipe.accel is not None  # all rays live, but samples are prunable
+    assert pipe.renderer.base_cfg.accel_capacity_rays == 1.0
+    assert pipe.renderer.base_cfg.accel_capacity < 0.95
+
+    # same rays against a fully-occupied grid: fog — nothing for the
+    # proposal pdf to concentrate on; disabled at build
+    fog_grid = OccupancyGrid(
+        occ=jnp.ones(R * R * R),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    pipe.accel = fog_grid
+    pipe.renderer = NeRFRenderer(cfg)
+    pipe._autoselect_capacity(rays, ray_batch_size=N)
+    assert pipe.accel is None
+
+    # RAYS mode on the slab grid still keys on ray capacity: every ray is
+    # live, so compaction has nothing to skip and is correctly disabled
+    pipe.accel = slab_grid
+    pipe.renderer = NeRFRenderer(
+        dataclasses.replace(cfg, accel_mode="rays")
+    )
+    pipe._autoselect_capacity(rays, ray_batch_size=N)
     assert pipe.accel is None
 
 
