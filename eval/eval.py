@@ -128,7 +128,7 @@ def main():
 
     from pixelnerf_tpu.config import parse_args
     from pixelnerf_tpu.data import get_split_dataset
-    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.models import make_encode_fn, make_model
     from pixelnerf_tpu.parallel import RenderPipeline, make_ray_mesh
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.train import checkpoints
@@ -225,6 +225,9 @@ def main():
 
     variables = None
     pipeline = None
+    # one jitted encode reused across every object (a fresh per-object wrap
+    # would retrace; the eager apply would pay a device round trip per op)
+    encode_fn = make_encode_fn(net)
     all_rays = None
     novel_view_idxs = None
     src_view_mask = None
@@ -316,13 +319,12 @@ def main():
             if use_accel:
                 pipeline.set_accel_mode(args.accel)
 
-        scene = net.apply(
+        scene = encode_fn(
             variables,
             jnp.asarray(src_images),
             jnp.asarray(src_poses),
             jnp.asarray(focal),
             c=jnp.asarray(c) if c is not None else None,
-            method=PixelNeRFNet.encode,
         )
         rng, obj_rng = jax.random.split(rng)
         if use_accel:

@@ -43,7 +43,7 @@ def main():
 
     from pixelnerf_tpu.config import parse_args
     from pixelnerf_tpu.data import DataLoader, get_split_dataset
-    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.models import make_encode_fn, make_model
     from pixelnerf_tpu.parallel import RenderPipeline
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.train import checkpoints
@@ -79,6 +79,9 @@ def main():
     cnt = 0
     variables = None
     pipeline = None
+    # one jitted encode for every object (pixelnerf.make_encode_fn: the
+    # eager apply pays a device round trip per encoder op)
+    encode_fn = make_encode_fn(net)
 
     for data in loader:
         images = data["images"]  # (SB, NV, H, W, 3)
@@ -128,12 +131,11 @@ def main():
 
         # per-object render (scene conditioning differs per object)
         for sb in range(SB):
-            scene = net.apply(
+            scene = encode_fn(
                 variables,
                 jnp.asarray(pri_images[sb : sb + 1]),
                 jnp.asarray(pri_poses[sb : sb + 1]),
                 jnp.asarray(focal),
-                method=PixelNeRFNet.encode,
             )
             jrng, step = jax.random.split(jrng)
             rgb, _depth = pipeline.render_simple(

@@ -81,7 +81,7 @@ def main():
     import jax.numpy as jnp
 
     from pixelnerf_tpu.config import parse_args
-    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.models import make_encode_fn, make_model
     from pixelnerf_tpu.parallel import RenderPipeline
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.train import checkpoints
@@ -145,6 +145,9 @@ def main():
 
     variables = None
     pipeline = RenderPipeline(net, renderer)
+    # one jitted encode for every input image (pixelnerf.make_encode_fn:
+    # the eager apply pays a device round trip per encoder op)
+    encode_fn = make_encode_fn(net)
     rng = jax.random.PRNGKey(0)
 
     from PIL import Image
@@ -174,12 +177,11 @@ def main():
             )
             variables = checkpoints.load_weights(args, variables)
 
-        scene = net.apply(
+        scene = encode_fn(
             variables,
             jnp.asarray(src_images),
             jnp.asarray(src_poses),
             jnp.asarray(focal),
-            method=PixelNeRFNet.encode,
         )
         if args.accel_mode != "off" and jax.default_backend() != "cpu":
             auto = args.accel_mode == "auto"

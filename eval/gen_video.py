@@ -93,7 +93,7 @@ def main():
 
     from pixelnerf_tpu.config import parse_args
     from pixelnerf_tpu.data import get_split_dataset
-    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.models import make_encode_fn, make_model
     from pixelnerf_tpu.parallel import RenderPipeline, make_ray_mesh
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.train import checkpoints
@@ -199,13 +199,14 @@ def main():
     variables = checkpoints.load_weights(args, variables)
 
     print("Encoding source view(s)")
-    scene = net.apply(
+    # jitted: the eager apply pays a device round trip per encoder op on
+    # remote-TPU backends (pixelnerf.make_encode_fn)
+    scene = make_encode_fn(net)(
         variables,
         jnp.asarray(src_images),
         jnp.asarray(src_poses),
         jnp.asarray(focal),
         c=jnp.asarray(c) if c is not None else None,
-        method=PixelNeRFNet.encode,
     )
 
     mesh = make_ray_mesh(len(args.gpu_id)) if len(args.gpu_id) > 1 else None

@@ -1,7 +1,7 @@
 from .code import PositionalEncoding
 from .encoder import GlobalEncoder, ImageEncoder, SpatialEncoder
 from .mlp import ImplicitNet
-from .pixelnerf import EncodedScene, PixelNeRFNet, make_model
+from .pixelnerf import EncodedScene, PixelNeRFNet, make_encode_fn, make_model
 from .resnetfc import ResnetBlockFC, ResnetFC
 from .attention import (
     CBAM,
@@ -25,6 +25,7 @@ __all__ = [
     "ImplicitNet",
     "EncodedScene",
     "PixelNeRFNet",
+    "make_encode_fn",
     "make_model",
     "ResnetBlockFC",
     "ResnetFC",

@@ -612,6 +612,29 @@ def make_model(
     )
 
 
+def make_encode_fn(net: PixelNeRFNet):
+    """A jitted ``encode``: ``fn(variables, images, poses, focal, c=None) ->
+    EncodedScene`` (eval-mode batch stats).
+
+    Eager ``net.apply(..., method=encode)`` dispatches the encoder's several
+    hundred ops one by one; through a remote-TPU link each dispatch pays the
+    round trip (measured 90+ s for one multiscale encode that runs in ~1 s
+    compiled).  Build the callable ONCE and reuse it across objects — per-call
+    wrapping would retrace every time.  ``c=None`` and ``c=array`` compile
+    separately (different pytree structure); any one caller passes a
+    consistent form, so in practice each consumer compiles once.
+    """
+
+    @jax.jit
+    def encode(variables, images, poses, focal, c=None):
+        return net.apply(
+            variables, images, poses, focal, c=c,
+            method=PixelNeRFNet.encode,
+        )
+
+    return encode
+
+
 _DICT_TAG = "__conf_dict__"
 
 
