@@ -562,12 +562,17 @@ class RenderPipeline:
              here — measured on the sn64_multiscale bench field: 28.6 dB /
              771.7k rays/s at 16 draws vs 30.9 dB / 599.8k at 24, while
              denser probe ladders made agreement WORSE, 64 probes -> 27.8 dB)
+          -> ``proposal+16`` (the same field re-trained on another day
+             measured 27.0/29.2 dB at 16/24 draws — 0.8 dB under the gate at
+             +8 — and was falling all the way to ray compaction's dense-rate
+             floor; 32+8 draws is still 4x fewer field evals than dense)
           -> ``rays`` (compaction only; identical coarse z draw)
           -> dense (``accel = None``).
 
         A ladder that starts at ``rays``/``samples`` only has the dense rung
         below it.  Returns ``(label, psnrs)`` where ``label`` is the settled
-        rung ("proposal", "proposal+8", "rays", "samples", "dense") and
+        rung ("proposal", "proposal+8", "proposal+16", "rays", "samples",
+        "dense") and
         ``psnrs`` maps each tried rung to its PSNR-vs-dense.  The settled
         renderer config persists (a passing ``proposal+8`` keeps the larger
         draw count for subsequent renders); on full failure the original
@@ -607,24 +612,33 @@ class RenderPipeline:
             self.accel, self.accel_chunk = grid, chunk
         rgb_dense = np.asarray(rgb_dense, np.float32)
 
-        def _denser_proposal():
-            self.renderer.base_cfg = dataclasses.replace(
-                self.renderer.base_cfg,
-                accel_proposal_samples=base_cfg.accel_proposal_samples + 8,
-            )
-            rays_np = getattr(self, "_build_rays_np", None)
-            if rays_np is not None:
-                self._autoselect_capacity(
-                    rays_np,
-                    ray_batch_size=getattr(self, "_build_ray_batch_size", None),
+        def _denser_proposal(extra):
+            def setup():
+                self.renderer.base_cfg = dataclasses.replace(
+                    self.renderer.base_cfg,
+                    accel_proposal_samples=(
+                        base_cfg.accel_proposal_samples + extra
+                    ),
                 )
+                rays_np = getattr(self, "_build_rays_np", None)
+                if rays_np is not None:
+                    self._autoselect_capacity(
+                        rays_np,
+                        ray_batch_size=getattr(
+                            self, "_build_ray_batch_size", None
+                        ),
+                    )
+
+            return setup
 
         def _to_rays():
             self.renderer.base_cfg = base_cfg
             self.set_accel_mode("rays")
 
         if base_cfg.accel_mode == "proposal":
-            ladder = [("proposal", None), ("proposal+8", _denser_proposal),
+            ladder = [("proposal", None),
+                      ("proposal+8", _denser_proposal(8)),
+                      ("proposal+16", _denser_proposal(16)),
                       ("rays", _to_rays)]
         else:
             ladder = [(base_cfg.accel_mode, None)]

@@ -1064,22 +1064,39 @@ def test_gate_ladder_rescues_with_denser_proposal():
     assert pipe.renderer.base_cfg.accel_proposal_samples == 16
 
 
+def test_gate_ladder_rescues_at_plus16():
+    """A field that misses the gate at both the lean count and +8 but agrees
+    at +16 settles on proposal+16 (32 draws) instead of falling to the ray
+    compaction floor."""
+    pipe = _gate_pipeline()
+    ref = np.zeros((16, 3), np.float32)
+    bad = np.full((16, 3), 0.25, np.float32)
+    pipe.render_simple = _FakeGateRenders([bad, bad, ref.copy()])
+    label, psnrs = pipe.gate_accel_mode(None, None, None, None, ref)
+    assert label == "proposal+16"
+    assert pipe.accel is not None
+    assert pipe.renderer.base_cfg.accel_proposal_samples == 32
+    assert pipe.renderer.base_cfg.accel_mode == "proposal"
+    assert set(psnrs) == {"proposal", "proposal+8", "proposal+16"}
+
+
 def test_gate_ladder_steps_down_to_rays_then_dense():
     pipe = _gate_pipeline()
     ref = np.zeros((16, 3), np.float32)
     bad = np.full((16, 3), 0.25, np.float32)
-    # proposal, proposal+8, rays all disagree -> dense, config restored
-    pipe.render_simple = _FakeGateRenders([bad, bad, bad])
+    # proposal, proposal+8, proposal+16, rays all disagree -> dense,
+    # config restored
+    pipe.render_simple = _FakeGateRenders([bad, bad, bad, bad])
     label, psnrs = pipe.gate_accel_mode(None, None, None, None, ref)
     assert label == "dense"
     assert pipe.accel is None and pipe.accel_chunk is None
     assert pipe.renderer.base_cfg.accel_proposal_samples == 16
     assert pipe.renderer.base_cfg.accel_mode == "proposal"
-    assert set(psnrs) == {"proposal", "proposal+8", "rays"}
+    assert set(psnrs) == {"proposal", "proposal+8", "proposal+16", "rays"}
 
     # rays rung passing keeps compaction
     pipe2 = _gate_pipeline()
-    pipe2.render_simple = _FakeGateRenders([bad, bad, ref.copy()])
+    pipe2.render_simple = _FakeGateRenders([bad, bad, bad, ref.copy()])
     label2, _ = pipe2.gate_accel_mode(None, None, None, None, ref)
     assert label2 == "rays"
     assert pipe2.accel is not None
