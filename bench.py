@@ -6,8 +6,8 @@ Measures steady-state rays/sec through the full conditioned render path
 on a synthetic 64x64 sphere scene with one source view.
 
 The model is first trained briefly on the scene (BENCH_TRAIN_STEPS, default
-400) so its density field is object-like — mostly empty space, exactly the
-regime every real eval render runs in.  The occupancy-grid sample pruning
+800, warmup+cosine lr — see quick_train) so its density field is object-like
+— mostly empty space, exactly the regime every real eval render runs in.  The occupancy-grid sample pruning
 (render/accel.py) then skips verified-empty samples, like gen_video does by
 default; a dense-vs-pruned PSNR gate (>= 30 dB) disables pruning if the grid
 misrepresents the field.  The reference composites every sample of every ray
@@ -91,18 +91,22 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
             params[head]["lin_out"]["bias"] = b
     params = flax.serialization.from_state_dict(variables["params"], params)
 
-    # lr 1e-4 = the reference's training lr (conf/default.conf), and the only
-    # tested rate at which this wide net escapes the all-white plateau:
-    # measured fg_frac after 4000 steps — 1e-3: 0.000, 3e-4: 0.000 (loss
-    # stuck at 0.32), 1e-4: 0.350 (loss 0.159, object renders)
-    # BENCH_TRAIN_SCHED=cosine adds linear warmup (BENCH_TRAIN_WARMUP steps,
-    # default 200) + cosine decay to 10% of peak — at the same peak lr this
-    # reaches a given loss in fewer steps than the constant-lr reference
-    # recipe (swept: scripts/study_train_recipe.py); default stays constant
-    # (the published round-2/3 control field depends on it).
-    lr = float(os.environ.get("BENCH_TRAIN_LR", "1e-4"))
-    if os.environ.get("BENCH_TRAIN_SCHED", "const") == "cosine":
-        warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", 200))
+    # Recipe default (round 4): 800 steps, lr 2e-4 under linear warmup (100
+    # steps) + cosine decay to 10% of peak.  Swept on TPU against the
+    # constant-lr round-2/3 control (4000 steps at the reference's 1e-4 —
+    # the only CONSTANT rate that escapes the all-white plateau; const
+    # 1e-3/3e-4 dead-relu to fg 0.000, and the warmup is what lets the 2e-4
+    # peak survive the background-dominated first steps): the cosine recipe
+    # reaches loss 0.0027 (vs the control's 0.1586) in 37 s wall vs 96 s —
+    # 2.58x the control's effective training rate at BETTER final loss, with
+    # an equally object-like field (fg 0.291 vs 0.300) that passes the
+    # proposal quality gate at 33.0 dB.  Sweep rows: /tmp-archived in
+    # docs/PERFORMANCE.md "quick-train recipe" section; rerun via
+    # scripts/study_train_recipe.py.  BENCH_TRAIN_SCHED=const restores the
+    # control recipe.
+    lr = float(os.environ.get("BENCH_TRAIN_LR", "2e-4"))
+    if os.environ.get("BENCH_TRAIN_SCHED", "cosine") == "cosine":
+        warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", 100))
         lr = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup, steps, end_value=0.1 * lr
         )
@@ -236,8 +240,10 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # trip the TPU worker watchdog through the tunnel (measured crash at
     # 4000); equal-length segments (steps divided into the fewest <=1000-step
     # parts) reuse ONE compiled program for every segment — a shorter tail
-    # segment would pay a whole second compile (~14 s) for nothing
-    n_segs = -(-steps // 1000)
+    # segment would pay a whole second compile (~14 s) for nothing.  At least
+    # TWO segments whenever the step count allows, so the steady-segment MFU
+    # stays separable from the first segment's trace+compile.
+    n_segs = max(-(-steps // 1000), 2 if steps >= 100 else 1)
     seg = -(-steps // n_segs)
     t0 = time.perf_counter()
     parts = []
@@ -347,7 +353,7 @@ def setup_scene():
 
     from pixelnerf_tpu.config import hocon
     from pixelnerf_tpu.data import SyntheticDataset
-    from pixelnerf_tpu.models import PixelNeRFNet, make_model
+    from pixelnerf_tpu.models import make_encode_fn, make_model
     from pixelnerf_tpu.parallel import RenderPipeline
     from pixelnerf_tpu.render import NeRFRenderer
     from pixelnerf_tpu.utils import geometry
@@ -428,7 +434,7 @@ def setup_scene():
     jax.block_until_ready(variables)
     subphase("net_init")
 
-    train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 4000))
+    train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 800))
     if train_steps > 0:
         # diff_mode keeps field-kernel inputs dense so train steps ride the
         # fused kernel's custom-VJP backward (auto: TPU only)
@@ -439,12 +445,13 @@ def setup_scene():
         )
         subphase("quick_train")
 
-    scene = net.apply(
+    # jitted encode: the eager apply dispatches each encoder op through the
+    # tunnel (measured ~90 s for the multiscale conf vs ~1 s compiled)
+    scene = make_encode_fn(net)(
         variables,
         jnp.asarray(sample["images"][None, :ns]),
         jnp.asarray(sample["poses"][None, :ns]),
         jnp.asarray(focal),
-        method=PixelNeRFNet.encode,
     )
     jax.block_until_ready(scene)
     subphase("encode")

@@ -621,6 +621,22 @@ class Trainer:
                 decay_rate=gamma,
                 staircase=True,
             )
+        elif lr_policy == "cosine":
+            # warmup + cosine decay to 10% of peak: the TPU-swept quick-train
+            # recipe (docs/PERFORMANCE.md "Quick-train recipe") — warmup lets
+            # a >1e-4 peak survive the background-dominated first steps that
+            # dead-relu the density head under a constant schedule
+            total = tc(
+                "lr_total_steps",
+                steps_per_epoch * max(int(getattr(args, "epochs", 1)), 1),
+            )
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0,
+                lr,
+                tc("lr_warmup_steps", 100),
+                max(int(total), 1),
+                end_value=0.1 * lr,
+            )
         else:
             schedule = lr
         self._schedule = schedule

@@ -53,10 +53,16 @@ import bench
 # same knobs at 4000 steps drew a stream that never escapes the plateau
 # (loss 0.95 -> 0.96, fg 0.0) — so the dtu case pins the probe-validated
 # 2000 (BENCH_TRAIN_STEPS in a case env overrides STUDY_TRAIN_STEPS).
+# The hard-case recipes were probe-validated under the CONSTANT-lr 1e-4
+# schedule; pin it explicitly (bench.py's round-4 default recipe is the
+# swept 800-step warmup+cosine 2e-4 — validated on the sphere control, not
+# on these adversarial families).
 _HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
-         "BENCH_TRAIN_COARSE": "64"}
+         "BENCH_TRAIN_COARSE": "64",
+         "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
 _DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
-        "BENCH_TRAIN_STEPS": "2000"}
+        "BENCH_TRAIN_STEPS": "2000",
+        "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
 DEFAULT_CASES = [
     ("sphere", "dtu", 3, "76x100", _DTU),  # the DTU acceptance shape
     ("sphere", "sn64", 1, "", {}),  # round-2 control

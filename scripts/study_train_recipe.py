@@ -26,12 +26,14 @@ import numpy as np
 
 import bench
 
-# (steps, lr, sched, warmup, R) — the first row is the published control
+# (steps, lr, sched, warmup, R) — the first row is the round-2/3 constant-lr
+# control (loss-crossing reference), the second the round-4 default (swept
+# winner: 2.58x the control's effective rate at 58x lower final loss)
 DEFAULT_RECIPES = [
     (4000, "1e-4", "const", 0, 1024),
+    (800, "2e-4", "cosine", 100, 1024),
     (2000, "1e-4", "cosine", 200, 1024),
-    (2000, "2e-4", "cosine", 200, 1024),
-    (1500, "2e-4", "cosine", 150, 1024),
+    (1200, "2e-4", "cosine", 150, 2048),
     (2000, "2e-4", "cosine", 200, 2048),
 ]
 

@@ -87,6 +87,38 @@ def _build(tmp_path, **argkw):
     return conf, net, ds, renderer, variables, args, trainer
 
 
+def test_cosine_lr_policy(tmp_path):
+    """train { lr_policy = cosine } builds a warmup+cosine schedule: 0 at
+    step 0, peak lr after lr_warmup_steps, 10% of peak at lr_total_steps
+    (the TPU-swept quick-train recipe, docs/PERFORMANCE.md)."""
+    conf = hocon.parse_string(
+        TINY_CONF.replace(
+            "num_epoch_repeats = 1",
+            "num_epoch_repeats = 1\n lr_policy = cosine\n"
+            " lr_warmup_steps = 10\n lr_total_steps = 100",
+        )
+    )
+    net = make_model(conf["model"])
+    ds = SyntheticDataset(n_objs=3, n_views=4, image_size=24)
+    renderer = NeRFRenderer.from_conf(conf["renderer"])
+    sample = ds[0]
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample["images"][None, :1]),
+        jnp.asarray(sample["poses"][None, :1]),
+        jnp.asarray(np.float32(sample["focal"])),
+        jnp.zeros((1, 4, 3), jnp.float32),
+        jnp.zeros((1, 4, 3), jnp.float32),
+    )
+    args = _Args(str(tmp_path), lr=2e-4)
+    trainer = Trainer(net, variables, ds, ds, renderer, args, conf)
+    sched = trainer._schedule
+    assert callable(sched)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 2e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 2e-5, rtol=1e-5)
+
+
 def test_prepare_ray_batch_shapes():
     ds = SyntheticDataset(n_objs=2, n_views=4, image_size=24)
     data = collate([ds[0], ds[1]])
