@@ -104,8 +104,16 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # docs/PERFORMANCE.md "quick-train recipe" section; rerun via
     # scripts/study_train_recipe.py.  BENCH_TRAIN_SCHED=const restores the
     # control recipe.
-    lr = float(os.environ.get("BENCH_TRAIN_LR", "2e-4"))
-    if os.environ.get("BENCH_TRAIN_SCHED", "cosine") == "cosine":
+    # BENCH_TRAIN_SCHED=const restores the r2/3 CONTROL DEFAULTS as a set —
+    # lr 1e-4 (under a constant schedule 2e-4 dead-relus: measured fg 0.000
+    # at const 3e-4) and, in setup_scene, 4000 steps — so the published
+    # control reproduces from the one knob; explicit BENCH_TRAIN_LR/STEPS
+    # still override.
+    sched = os.environ.get("BENCH_TRAIN_SCHED", "cosine")
+    lr = float(
+        os.environ.get("BENCH_TRAIN_LR", "2e-4" if sched == "cosine" else "1e-4")
+    )
+    if sched == "cosine":
         warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", 100))
         lr = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup, steps, end_value=0.1 * lr
@@ -238,13 +246,28 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
 
     # segment the scan: a single >~1000-step dispatch runs long enough to
     # trip the TPU worker watchdog through the tunnel (measured crash at
-    # 4000); equal-length segments (steps divided into the fewest <=1000-step
-    # parts) reuse ONE compiled program for every segment — a shorter tail
-    # segment would pay a whole second compile (~14 s) for nothing.  At least
-    # TWO segments whenever the step count allows, so the steady-segment MFU
-    # stays separable from the first segment's trace+compile.
-    n_segs = max(-(-steps // 1000), 2 if steps >= 100 else 1)
+    # 4000); EQUAL-length segments reuse ONE compiled program for every
+    # segment — a different-length tail would pay a whole second trace+
+    # compile (~14 s), and that one would land inside the steady window and
+    # corrupt the MFU/effective-rate attribution.  At least TWO segments
+    # whenever the step count allows, so the steady-segment MFU stays
+    # separable from the first segment's trace+compile; prefer the smallest
+    # segment count >= the minimum that divides steps evenly (800 -> 2x400,
+    # 2500 -> 5x500, 801 -> 3x267), falling back to a ceil split (+ tail
+    # recompile, logged) only for step counts with no divisor in range.
+    min_segs = max(-(-steps // 1000), 2 if steps >= 100 else 1)
+    n_segs = next(
+        (n for n in range(min_segs, min(min_segs + 4, steps + 1))
+         if steps % n == 0),
+        min_segs,
+    )
     seg = -(-steps // n_segs)
+    if steps % n_segs:
+        log(
+            f"bench: quick-train steps {steps} not divisible into {n_segs} "
+            f"equal segments; the shorter tail recompiles inside the steady "
+            f"window (MFU/effective-rate will read low)"
+        )
     t0 = time.perf_counter()
     parts = []
     start = 0
@@ -313,7 +336,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         )
     quick_train.last_info = {
         "steps": steps, "R": R, "train_s": train_s, "steady_s": steady_s,
-        "loss_final": float(np.mean(losses[-10:])), "mfu": mfu,
+        "loss_final": loss_final, "mfu": mfu,
         "losses": losses,
     }
     return {"params": state.params, "batch_stats": state.batch_stats}
@@ -434,7 +457,13 @@ def setup_scene():
     jax.block_until_ready(variables)
     subphase("net_init")
 
-    train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 800))
+    train_steps = int(
+        os.environ.get(
+            "BENCH_TRAIN_STEPS",
+            800 if os.environ.get("BENCH_TRAIN_SCHED", "cosine") == "cosine"
+            else 4000,  # const = the r2/3 control recipe (see quick_train)
+        )
+    )
     if train_steps > 0:
         # diff_mode keeps field-kernel inputs dense so train steps ride the
         # fused kernel's custom-VJP backward (auto: TPU only)
@@ -809,7 +838,8 @@ def main():
         t0 = time.perf_counter()
         # "proposal" = ray compaction + grid-guided importance sampling in
         # place of the coarse MLP pass (render/renderer.py accel_mode docs);
-        # the PSNR gate below steps down proposal -> rays -> dense if the
+        # the PSNR gate below walks the quality ladder (proposal -> proposal+8
+        # -> proposal+16 -> rays -> dense) if the
         # grid misrepresents the field, so the timed number can never ride a
         # degenerate render
         mode = os.environ.get("BENCH_ACCEL_MODE", "proposal")
@@ -818,7 +848,7 @@ def main():
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
         phase("grid_build")
         # shared quality ladder (RenderPipeline.gate_accel_mode):
-        # proposal -> proposal+8 -> rays -> dense
+        # proposal -> proposal+8 -> proposal+16 -> rays -> dense
         label, psnrs = pipeline.gate_accel_mode(
             variables, scene, rays, rng, rgb_dense,
             ray_batch_size=chunk, pack="u8",

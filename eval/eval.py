@@ -114,7 +114,8 @@ def extra_args(parser):
         "--no_accel_gate",
         action="store_true",
         help="Skip the per-object self-gate (first target view rendered "
-        "dense AND pruned; < 30 dB steps down proposal -> rays -> dense). "
+        "dense AND pruned; < 30 dB walks proposal -> proposal+8 -> "
+        "proposal+16 -> rays -> dense). "
         "The gate costs ~2 extra view renders per object and makes --accel "
         "quality-safe for metric runs",
     )

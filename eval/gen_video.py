@@ -227,7 +227,7 @@ def main():
             # self-gate, per video: frame 0 rendered dense and pruned with the
             # same key, walking the shared quality ladder
             # (RenderPipeline.gate_accel_mode: proposal -> proposal+8 ->
-            # rays -> dense).  Costs a few extra frame renders (programs land
+            # proposal+16 -> rays -> dense).  Costs a few extra frame renders (programs land
             # in the persistent compilation cache, so reruns only pay the
             # render).
             frame0 = render_rays_all[: H * W]

@@ -634,6 +634,20 @@ class RenderPipeline:
         def _to_rays():
             self.renderer.base_cfg = base_cfg
             self.set_accel_mode("rays")
+            # re-select for the rays-mode probe ladder — and let its
+            # "nothing to prune" rung fire: a fully-live field (ray capacity
+            # ~1.0, reachable here since proposal no longer build-disables
+            # on it) would make compaction pure overhead; disabling sends
+            # the ladder straight to dense instead of settling on a rung
+            # that is slower than no pruning at all
+            rays_np = getattr(self, "_build_rays_np", None)
+            if rays_np is not None:
+                self._autoselect_capacity(
+                    rays_np,
+                    ray_batch_size=getattr(
+                        self, "_build_ray_batch_size", None
+                    ),
+                )
 
         if base_cfg.accel_mode == "proposal":
             ladder = [("proposal", None),

@@ -625,16 +625,26 @@ class Trainer:
             # warmup + cosine decay to 10% of peak: the TPU-swept quick-train
             # recipe (docs/PERFORMANCE.md "Quick-train recipe") — warmup lets
             # a >1e-4 peak survive the background-dominated first steps that
-            # dead-relu the density head under a constant schedule
+            # dead-relu the density head under a constant schedule.
+            # The decay horizon must be explicit or derivable: args.epochs
+            # defaults to an effectively-unbounded sentinel (args.py), and a
+            # horizon of steps_per_epoch x 10^7 would hold lr at the full
+            # peak forever — the documented decay silently never happening.
+            epochs = int(getattr(args, "epochs", 0) or 0)
             total = tc(
                 "lr_total_steps",
-                steps_per_epoch * max(int(getattr(args, "epochs", 1)), 1),
+                steps_per_epoch * epochs if 0 < epochs < 1_000_000 else 0,
             )
+            if int(total) <= 0:
+                raise ValueError(
+                    "train.lr_policy = cosine needs a decay horizon: set "
+                    "train.lr_total_steps (steps) or pass a finite --epochs"
+                )
             schedule = optax.warmup_cosine_decay_schedule(
                 0.0,
                 lr,
                 tc("lr_warmup_steps", 100),
-                max(int(total), 1),
+                int(total),
                 end_value=0.1 * lr,
             )
         else:

@@ -2,7 +2,8 @@
 
 Round 2 published every accel number from ONE synthetic sphere at NS=1.  This
 study runs the SAME protocol as bench.py (same scaffold, same quick-train,
-same PSNR >= 30 dB self-gate with the proposal -> rays -> dense ladder, same
+same PSNR >= 30 dB self-gate with the proposal -> proposal+8 -> proposal+16
+-> rays -> dense ladder, same
 steady-state timing) across the geometry families the occupancy grid can
 plausibly fail on (data.synthetic.scene_objects): multi-object scenes, thin
 rods/plates (chair legs), off-center objects, large-foreground blobs,
@@ -52,20 +53,23 @@ import bench
 # quick_train's host-RNG batch stream depends on the step count, and the
 # same knobs at 4000 steps drew a stream that never escapes the plateau
 # (loss 0.95 -> 0.96, fg 0.0) — so the dtu case pins the probe-validated
-# 2000 (BENCH_TRAIN_STEPS in a case env overrides STUDY_TRAIN_STEPS).
+# 2000 (a case env's BENCH_TRAIN_STEPS overrides everything else).
 # The hard-case recipes were probe-validated under the CONSTANT-lr 1e-4
-# schedule; pin it explicitly (bench.py's round-4 default recipe is the
-# swept 800-step warmup+cosine 2e-4 — validated on the sphere control, not
-# on these adversarial families).
+# schedule at specific step counts; pin the whole recipe explicitly
+# (bench.py's round-4 default is the swept 800-step warmup+cosine 2e-4 —
+# validated on the sphere control, not on these adversarial families).
+# Control rows carry NO overrides so they always run the bench's CURRENT
+# default recipe — the study's job is to validate accel under the same
+# protocol the published bench numbers use.
 _HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
-         "BENCH_TRAIN_COARSE": "64",
+         "BENCH_TRAIN_COARSE": "64", "BENCH_TRAIN_STEPS": "4000",
          "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
 _DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
         "BENCH_TRAIN_STEPS": "2000",
         "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
 DEFAULT_CASES = [
     ("sphere", "dtu", 3, "76x100", _DTU),  # the DTU acceptance shape
-    ("sphere", "sn64", 1, "", {}),  # round-2 control
+    ("sphere", "sn64", 1, "", {}),  # bench-default control
     ("multi3", "sn64", 1, "", _HARD),
     ("thin", "sn64", 1, "", _HARD),
     ("offcenter", "sn64", 1, "", _HARD),
@@ -151,8 +155,11 @@ def parse_cases(spec: str) -> list:
     return cases
 
 
-def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
+def run_case(scene_kind: str, conf: str, ns: int, train_steps: int = 0,
              hw: str = "", env: dict | None = None) -> dict:
+    """``train_steps`` == 0 leaves BENCH_TRAIN_STEPS unset — the case runs
+    the bench's CURRENT default recipe (so control rows track bench.py
+    instead of freezing a stale step count)."""
     import jax
 
     from pixelnerf_tpu.render.accel import occupancy_fraction
@@ -162,7 +169,8 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
     os.environ["BENCH_NS"] = str(ns)
     for k in _KNOBS:  # per-case recipe knobs: reset, then apply overrides
         os.environ.pop(k, None)
-    os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
+    if train_steps:
+        os.environ["BENCH_TRAIN_STEPS"] = str(train_steps)
     os.environ.update(env or {})
     if hw:
         os.environ["BENCH_HW"] = hw
@@ -173,7 +181,7 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
     s = bench.setup_scene()
     row = {"scene": scene_kind, "conf": conf, "ns": ns, "hw": hw or "64x64",
            "recipe": ",".join(f"{k}={v}" for k, v in (env or {}).items())
-                     or "round2"}
+                     or "bench-default"}
 
     rgb_dense, fg_frac = s.render_dense_reference()
     row["fg_frac"] = round(fg_frac, 3)
@@ -209,7 +217,7 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int,
     row["occ_frac"] = round(float(occupancy_fraction(s.pipeline.accel)), 4)
 
     # the shared self-gate ladder (RenderPipeline.gate_accel_mode):
-    # proposal -> proposal+8 -> rays -> dense
+    # proposal -> proposal+8 -> proposal+16 -> rays -> dense
     mode, psnrs = s.pipeline.gate_accel_mode(
         s.variables, s.scene, s.rays, s.rng, rgb_dense,
         ray_batch_size=s.chunk, pack="u8",
@@ -268,7 +276,9 @@ def main():
     cases = DEFAULT_CASES
     if os.environ.get("STUDY_CASES"):
         cases = parse_cases(os.environ["STUDY_CASES"])
-    train_steps = int(os.environ.get("STUDY_TRAIN_STEPS", 4000))
+    # 0 = leave unset: cases without overrides run the bench's current
+    # default recipe (hard cases pin their probe-validated recipes in env)
+    train_steps = int(os.environ.get("STUDY_TRAIN_STEPS", 0))
     out_path = os.environ.get("STUDY_OUT")
 
     rows = []

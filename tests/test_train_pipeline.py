@@ -118,6 +118,21 @@ def test_cosine_lr_policy(tmp_path):
     np.testing.assert_allclose(float(sched(10)), 2e-4, rtol=1e-6)
     np.testing.assert_allclose(float(sched(100)), 2e-5, rtol=1e-5)
 
+    # without lr_total_steps, the unbounded --epochs sentinel (args.py
+    # default 10^7) would silently hold lr at peak forever; require an
+    # explicit horizon instead
+    conf2 = hocon.parse_string(
+        TINY_CONF.replace(
+            "num_epoch_repeats = 1",
+            "num_epoch_repeats = 1\n lr_policy = cosine",
+        )
+    )
+    with pytest.raises(ValueError, match="lr_total_steps"):
+        Trainer(
+            net, variables, ds, ds, renderer,
+            _Args(str(tmp_path), lr=2e-4, epochs=10_000_000), conf2,
+        )
+
 
 def test_prepare_ray_batch_shapes():
     ds = SyntheticDataset(n_objs=2, n_views=4, image_size=24)
