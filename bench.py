@@ -110,13 +110,15 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # control reproduces from the one knob; explicit BENCH_TRAIN_LR/STEPS
     # still override.
     sched = os.environ.get("BENCH_TRAIN_SCHED", "cosine")
-    lr = float(
+    lr_peak = float(
         os.environ.get("BENCH_TRAIN_LR", "2e-4" if sched == "cosine" else "1e-4")
     )
+    lr = lr_peak
+    warmup = 0
     if sched == "cosine":
         warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", 100))
         lr = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup, steps, end_value=0.1 * lr
+            0.0, lr_peak, warmup, steps, end_value=0.1 * lr_peak
         )
     opt = optax.adam(lr)
     state = TrainState(
@@ -154,6 +156,11 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # 2x coarse samples); supervising accumulated alpha with the dataset
     # mask pushes sigma up exactly where the objects are.
     lambda_alpha_mask = float(os.environ.get("BENCH_TRAIN_ALPHA", "0"))
+    # BENCH_TRAIN_FG: fraction of each batch's rays drawn from mask-positive
+    # pixels (prepare_ray_batch fg_frac) — the scattered-foreground rescue:
+    # bbox warmup still drowns fragmented objects in background rays, mask-
+    # guided sampling cannot
+    fg_frac = float(os.environ.get("BENCH_TRAIN_FG", "0"))
     train_step, _ = make_step_fns(
         net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs,
         # the fused kernel's custom VJP recomputes in VMEM — outer remat
@@ -166,7 +173,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         "poses": sample["poses"][None],
         "focal": np.asarray([focal], np.float32),
     }
-    if lambda_alpha_mask > 0:
+    if lambda_alpha_mask > 0 or fg_frac > 0:
         data["masks"] = sample["masks"][None]
     # pre-generate every ray batch on the host, then run ALL steps in one
     # lax.scan dispatch — per-step dispatches pay the device-tunnel round
@@ -196,20 +203,26 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     batches = [
         prepare_ray_batch(
             bbox_data if use_bbox[i] else data, 1, R, z_near, z_far,
-            bool(use_bbox[i]), host_rng,
+            bool(use_bbox[i]), host_rng, fg_frac=fg_frac,
         )
         for i in range(steps)
     ]
     host_prep_s = time.perf_counter() - t_prep0
     t_up0 = time.perf_counter()
-    rays_T = jnp.asarray(np.stack([b["rays"] for b in batches]))
-    gt_T = jnp.asarray(np.stack([b["rgb_gt"] for b in batches]))
+    # per-STEP keys are scanned; everything else is closed over once.
+    # mask_gt is per-step (it indexes the same sampled pixels as rays/rgb_gt
+    # — feeding step 0's mask to every step supervises alpha at the WRONG
+    # pixels, which actively fights the mask loss it was meant to provide)
+    per_keys = [k for k in ("rays", "rgb_gt", "mask_gt") if k in batches[0]]
+    per_T = {
+        k: jnp.asarray(np.stack([b[k] for b in batches])) for k in per_keys
+    }
     fixed = {
         k: jnp.asarray(batches[0][k])
         for k in batches[0]
-        if k not in ("rays", "rgb_gt")
+        if k not in per_keys
     }
-    jax.block_until_ready((rays_T, gt_T))
+    jax.block_until_ready(per_T)
     upload_s = time.perf_counter() - t_up0
 
     # sigma noise off by default (the positive bias init replaces it; the
@@ -229,18 +242,18 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         noise_T = jnp.zeros((steps,), jnp.float32)
 
     @jax.jit
-    def run(state, rays_T, gt_T, noise_T, key):
+    def run(state, per_T, noise_T, key):
         def body(carry, xs):
             st, k = carry
             k, sk = jax.random.split(k)
-            rays, gt, ns = xs
+            per, ns = xs
             st, ld = train_step(
-                st, dict(fixed, rays=rays, rgb_gt=gt), sk, noise_scale=ns
+                st, dict(fixed, **per), sk, noise_scale=ns
             )
             return (st, k), ld["t"]
 
         (state, _), losses = jax.lax.scan(
-            body, (state, key), (rays_T, gt_T, noise_T)
+            body, (state, key), (per_T, noise_T)
         )
         return state, losses
 
@@ -275,7 +288,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     while start < steps:
         sl = slice(start, start + min(seg, steps - start))
         state, ls = run(
-            state, rays_T[sl], gt_T[sl], noise_T[sl],
+            state, {k: v[sl] for k, v in per_T.items()}, noise_T[sl],
             jax.random.fold_in(jax.random.PRNGKey(2), start),
         )
         parts.append(np.asarray(ls))
@@ -286,6 +299,74 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         start = sl.stop
     losses = np.concatenate(parts)
     train_s = time.perf_counter() - t0
+
+    # Optional density-carve polish (BENCH_TRAIN_POLISH steps): a short
+    # CONSTANT low-lr anneal with mask-supervised alpha at the tail.  The
+    # cosine recipe's field renders well but leaves stray near-threshold
+    # density around the object (worst-window ray liveness 0.499 vs the
+    # const control's 0.422 — BENCH_r04), which inflates the compaction
+    # buffers the eval path pays for every ray.  Alpha at the full cosine
+    # peak over-drives (docs/PERFORMANCE.md); at the tail, with the RGB loss
+    # already converged, it only pushes accumulated alpha toward the mask —
+    # i.e. it deletes density exactly where the mask says empty.
+    polish = int(os.environ.get("BENCH_TRAIN_POLISH", "0"))
+    polish_s = 0.0
+    if polish > 0:
+        t_p0 = time.perf_counter()
+        lr_p = float(os.environ.get("BENCH_TRAIN_POLISH_LR", "2e-5"))
+        alpha_p = float(os.environ.get("BENCH_TRAIN_POLISH_ALPHA", "0.3"))
+        pdata = (
+            data if "masks" in data
+            else dict(data, masks=sample["masks"][None])
+        )
+        opt_p = optax.adam(lr_p)
+        step_p, _ = make_step_fns(
+            net, opt_p, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs,
+            remat=not net.field_backward_in_kernel(1),
+            lambda_alpha_mask=alpha_p,
+        )
+        pbatches = [
+            prepare_ray_batch(pdata, 1, R, z_near, z_far, False, host_rng)
+            for _ in range(polish)
+        ]
+        pkeys = [k for k in ("rays", "rgb_gt", "mask_gt") if k in pbatches[0]]
+        pper = {
+            k: jnp.asarray(np.stack([b[k] for b in pbatches])) for k in pkeys
+        }
+        pfixed = {
+            k: jnp.asarray(pbatches[0][k])
+            for k in pbatches[0]
+            if k not in pkeys
+        }
+        pstate = TrainState(
+            params=state.params,
+            batch_stats=state.batch_stats,
+            opt_state=jax.jit(opt_p.init)(state.params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        @jax.jit
+        def run_polish(st0, per_T, key):
+            def body(carry, xs):
+                st, k = carry
+                k, sk = jax.random.split(k)
+                st, ld = step_p(st, dict(pfixed, **xs), sk)
+                return (st, k), ld["t"]
+
+            (st0, _), ls = jax.lax.scan(body, (st0, key), per_T)
+            return st0, ls
+
+        pstate, pls = run_polish(pstate, pper, jax.random.PRNGKey(5))
+        pls = np.asarray(pls)
+        state = state.replace(
+            params=pstate.params, batch_stats=pstate.batch_stats
+        )
+        polish_s = time.perf_counter() - t_p0
+        log(
+            f"bench: polish {polish} steps (const lr {lr_p:g}, mask-alpha "
+            f"{alpha_p:g}) in {polish_s:.1f}s incl. compile, loss "
+            f"{pls[0]:.4f} -> {float(np.mean(pls[-10:])):.4f}"
+        )
     # model-math MFU over the STEADY segments (3x-fwd field math; same
     # accounting as bench_train — compile excluded, recompute not counted).
     # Dims come from the param tree (flax setup fields aren't readable
@@ -323,12 +404,28 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     wall_s = host_prep_s + upload_s + train_s
     if loss_final <= _R3_CONTROL_LOSS + 5e-4:
         eff = _R3_CONTROL_RAYS / wall_s
-        log(
+        ctrl = _R3_CONTROL_RAYS / _R3_CONTROL_WALL_S
+        # the wall multiplier folds in the first segment's trace+compile,
+        # which depends on compile-cache warmth (same recipe: 2.58x cold vs
+        # 3.60x warm) — print a steady-only rate alongside so cold and
+        # warm-cache runs normalize against each other
+        line = (
             f"bench: quick-train effective {eff:,.0f} control-rays/s over "
-            f"{wall_s:.1f}s wall = {eff / (_R3_CONTROL_RAYS / _R3_CONTROL_WALL_S):.2f}x "
+            f"{wall_s:.1f}s wall = {eff / ctrl:.2f}x "
             f"the r3 control recipe, at matched final loss "
             f"({loss_final:.4f} <= {_R3_CONTROL_LOSS})"
         )
+        if steady_steps > 0 and steady_s > 0:
+            seg0_steady = seg * (steady_s / steady_steps)
+            steady_eff = _R3_CONTROL_RAYS / (
+                host_prep_s + upload_s + steady_s + seg0_steady
+            )
+            line += (
+                f"; compile-excluded {steady_eff:,.0f} = "
+                f"{steady_eff / ctrl:.2f}x "
+                f"(first segment incl. compile {compile_s:.1f}s)"
+            )
+        log(line)
     else:
         log(
             f"bench: quick-train final loss {loss_final:.4f} above the r3 "
@@ -338,6 +435,16 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         "steps": steps, "R": R, "train_s": train_s, "steady_s": steady_s,
         "loss_final": loss_final, "mfu": mfu,
         "losses": losses,
+        # the resolved recipe that produced the trained field, so the bench
+        # JSON is self-describing (the default changed const-4000 -> cosine-
+        # 800 in round 4 and r03-vs-r04 comparisons needed env context)
+        "recipe": {
+            "sched": sched, "steps": steps, "lr_peak": lr_peak,
+            "warmup": warmup, "rays_per_step": R,
+            "alpha": lambda_alpha_mask, "bbox_frac": bbox_frac,
+            "fg_frac": fg_frac, "noise": noise0, "coarse": cfg.n_coarse,
+            "loss_final": round(loss_final, 5),
+        },
     }
     return {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -873,16 +980,19 @@ def main():
     )
     rays_per_sec = rate / s.n_chips
 
-    print(
-        json.dumps(
-            {
-                "metric": "gen_video_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "gen_video_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }
+    # self-describing: which quick-train recipe produced the timed field
+    # (the default recipe changed in round 4; without this, cross-round
+    # comparisons need out-of-band BENCH_TRAIN_SCHED context)
+    info = getattr(quick_train, "last_info", None)
+    if info is not None:
+        payload["train_recipe"] = info["recipe"]
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

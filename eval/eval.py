@@ -116,8 +116,8 @@ def extra_args(parser):
         help="Skip the per-object self-gate (first target view rendered "
         "dense AND pruned; < 30 dB walks proposal -> proposal+8 -> "
         "proposal+16 -> rays -> dense). "
-        "The gate costs ~2 extra view renders per object and makes --accel "
-        "quality-safe for metric runs",
+        "The gate costs 2-5 extra view renders per object (one per rung "
+        "tried) and makes --accel quality-safe for metric runs",
     )
     return parser
 
@@ -349,8 +349,8 @@ def main():
                 # per-object self-gate: the first target view rendered dense
                 # and pruned with the same key, walking the shared quality
                 # ladder (RenderPipeline.gate_accel_mode: proposal ->
-                # proposal+8 -> rays -> dense) so a grid that misrepresents
-                # THIS field can't poison metrics
+                # proposal+8 -> proposal+16 -> rays -> dense) so a grid that
+                # misrepresents THIS field can't poison metrics
                 label, psnrs = pipeline.gate_accel_mode(
                     variables, scene, all_rays[: H * W],
                     jax.random.PRNGKey(11),

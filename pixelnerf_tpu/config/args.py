@@ -67,69 +67,44 @@ def parse_args(
     argv=None,
 ):
     enable_compilation_cache()
+    # (long flag, short flag | None, type, default, help) — the flag NAMES
+    # and defaults are the reference CLI's contract (src/util/args.py:9-112)
+    # and must not drift; everything else here is table-driven
+    flag_table = [
+        ("conf", "c", str, None,
+         "HOCON config path (resolved via expconf.conf when omitted)"),
+        ("gpu_id", None, str, "0",
+         "space-separated device ids; on TPU this is only a hint for how "
+         "many local chips to shard across"),
+        ("name", "n", str, default_expname,
+         "experiment name (keys conf/datadir lookup in expconf.conf)"),
+        ("dataset_format", "F", str, None,
+         "loader family: multi_obj | dvr | dvr_gen | dvr_dtu | srn"),
+        ("exp_group_name", "G", str, None,
+         "optional subdirectory grouping related runs under the output "
+         "paths"),
+        ("logs_path", None, str, "logs", "where tensorboard events go"),
+        ("checkpoints_path", None, str, "checkpoints",
+         "where checkpoint trees go"),
+        ("visual_path", None, str, "visuals",
+         "where vis_step image dumps go"),
+        ("epochs", None, int, default_num_epochs,
+         "training horizon in epochs (default: effectively unbounded)"),
+        ("lr", None, float, default_lr, "optimizer learning rate"),
+        ("gamma", None, float, default_gamma,
+         "per-epoch exponential lr decay (1.0 = off)"),
+        ("datadir", "D", str, None, "dataset root directory"),
+        ("ray_batch_size", "R", int, default_ray_batch_size,
+         "upper bound on rays per render/train dispatch"),
+    ]
     parser = argparse.ArgumentParser()
-    parser.add_argument("--conf", "-c", type=str, default=None)
     parser.add_argument(
-        "--resume", "-r", action="store_true", help="continue training"
+        "--resume", "-r", action="store_true",
+        help="pick up training from the newest checkpoint",
     )
-    parser.add_argument(
-        "--gpu_id",
-        type=str,
-        default="0",
-        help="Device(s) to use, space delimited (device-count hint on TPU)",
-    )
-    parser.add_argument(
-        "--name", "-n", type=str, default=default_expname, help="experiment name"
-    )
-    parser.add_argument(
-        "--dataset_format",
-        "-F",
-        type=str,
-        default=None,
-        help="Dataset format, multi_obj | dvr | dvr_gen | dvr_dtu | srn",
-    )
-    parser.add_argument(
-        "--exp_group_name",
-        "-G",
-        type=str,
-        default=None,
-        help="if we want to group some experiments together",
-    )
-    parser.add_argument(
-        "--logs_path", type=str, default="logs", help="logs output directory"
-    )
-    parser.add_argument(
-        "--checkpoints_path",
-        type=str,
-        default="checkpoints",
-        help="checkpoints output directory",
-    )
-    parser.add_argument(
-        "--visual_path",
-        type=str,
-        default="visuals",
-        help="visualization output directory",
-    )
-    parser.add_argument(
-        "--epochs",
-        type=int,
-        default=default_num_epochs,
-        help="number of epochs to train for",
-    )
-    parser.add_argument("--lr", type=float, default=default_lr, help="learning rate")
-    parser.add_argument(
-        "--gamma", type=float, default=default_gamma, help="learning rate decay factor"
-    )
-    parser.add_argument(
-        "--datadir", "-D", type=str, default=None, help="Dataset directory"
-    )
-    parser.add_argument(
-        "--ray_batch_size",
-        "-R",
-        type=int,
-        default=default_ray_batch_size,
-        help="Ray batch size",
-    )
+    for long, short, typ, default, text in flag_table:
+        names = [f"--{long}"] + ([f"-{short}"] if short else [])
+        parser.add_argument(*names, type=typ, default=default, help=text)
     if callback is not None:
         parser = callback(parser)
     args = parser.parse_args(argv)

@@ -398,23 +398,30 @@ class RenderPipeline:
     def _autoselect_capacity(
         self,
         rays_np: np.ndarray,
-        margin: float = 1.15,
+        n_jitter_draws: int = 3,
         ray_batch_size: Optional[int] = None,
     ):
         """Size the static compaction buffers from measured live fractions of
         ``rays_np`` against the freshly built grid.
 
-        Ray mode (default): a ray is live if ANY coarse-midpoint sample is
-        occupied.  Since compaction runs per render chunk and frames mix
-        object-dense and background-only regions, the capacity must cover the
-        WORST chunk — estimated as the max live fraction over consecutive
-        effective-chunk-sized ray windows (larger chunks mix object and background
+        Ray mode (default): a ray is live if ANY coarse sample is occupied.
+        Since compaction runs per render chunk and frames mix object-dense
+        and background-only regions, the capacity must cover the WORST chunk
+        — estimated as the max live fraction over consecutive effective-
+        chunk-sized ray windows (larger chunks mix object and background
         regions, so their worst-window fraction sits closer to the mean and
-        the buffer can be proportionally smaller).  Sample mode: mean
-        live-sample fraction; the fine
-        union conservatively counts importance samples fully live.
-        Capacities round UP to 1/16 steps with a safety margin; overflowing
-        chunks still fall back to the dense path.
+        the buffer can be proportionally smaller).  The render draws its z's
+        STRATIFIED (rays.sample_coarse), so liveness fluctuates per pass for
+        rays grazing the dilated surface; instead of a blanket relative
+        margin (x1.15 through round 4 — it bought a 0.625 buffer for a 0.499
+        liveness), the probe measures that fluctuation directly: the midpoint
+        ladder plus ``n_jitter_draws`` deterministic stratified ladders, and
+        the capacity covers the worst window over ALL draws plus one 1/64
+        quantization step.  Sample mode: worst per-draw mean live-sample
+        fraction; the fine union conservatively counts importance samples
+        fully live.  Capacities round UP to 1/64 steps; an overflowing chunk
+        still falls back to the dense path via lax.cond (never wrong, only
+        unpruned — and the jittered probe makes that rare by construction).
         """
         import sys
 
@@ -427,37 +434,59 @@ class RenderPipeline:
         if cfg.accel_mode == "proposal" and cfg.accel_probe_samples:
             kc = cfg.accel_probe_samples
         N = rays_np.shape[0]
-        t = (np.arange(kc, dtype=np.float32) + 0.5) / kc
+        D = 1 + max(int(n_jitter_draws), 0)
+        # draw 0: bin midpoints; draws 1..: stratified, one fixed-seed
+        # uniform per (draw, ray, bin) — same distribution as the render's
+        # sample_coarse, deterministic so the chosen capacity (and therefore
+        # the compiled program shape) is stable across runs
+        jit_rng = np.random.default_rng(0)
 
-        ray_live = np.empty(N, bool)
-        samp_live_sum = 0.0
+        ray_live = np.empty((D, N), bool)
+        samp_live = np.zeros(D, np.float64)
         look = jax.jit(lambda p: occupancy_lookup(self.accel, p))
+        base = (np.arange(kc, dtype=np.float32) / kc)[None, None]
         for s in range(0, N, 65536):
             sub = rays_np[s : s + 65536]
-            z = sub[:, 6:7] + t[None] * (sub[:, 7:8] - sub[:, 6:7])
-            pts = sub[:, None, :3] + z[..., None] * sub[:, None, 3:6]
+            n_sub = sub.shape[0]
+            u = np.concatenate(
+                [
+                    np.full((1, n_sub, kc), 0.5, np.float32),
+                    jit_rng.random((D - 1, n_sub, kc), np.float32),
+                ]
+            )
+            t = base + u / kc  # (D, n_sub, kc)
+            z = sub[None, :, 6:7] + t * (sub[None, :, 7:8] - sub[None, :, 6:7])
+            pts = (
+                sub[None, :, None, :3]
+                + z[..., None] * sub[None, :, None, 3:6]
+            )
             live = np.asarray(look(jnp.asarray(pts)))
-            ray_live[s : s + 65536] = live.any(axis=-1)
-            samp_live_sum += float(live.sum())
-        fc = samp_live_sum / (N * kc)
+            ray_live[:, s : s + 65536] = live.any(axis=-1)
+            samp_live += live.sum(axis=(1, 2), dtype=np.float64)
+        fc_per_draw = samp_live / (N * kc)
+        fc = float(fc_per_draw.max())
 
         def worst_window(win: int) -> float:
-            # worst live fraction over consecutive win-sized ray windows;
-            # pad to a whole window by repeating the last ray's liveness —
-            # the same padding _dispatch applies (tiling part[-1:]) — so the
-            # tail chunk counts toward the estimate instead of being dropped
-            # (a live tail would otherwise undersize cap_r and push that
-            # chunk onto the dense fallback every render)
+            # worst live fraction over consecutive win-sized ray windows,
+            # maxed over the probe draws; pad to a whole window by repeating
+            # the last ray's liveness — the same padding _dispatch applies
+            # (tiling part[-1:]) — so the tail chunk counts toward the
+            # estimate instead of being dropped (a live tail would otherwise
+            # undersize cap_r and push that chunk onto the dense fallback
+            # every render)
             win = min(max(win, 256), N)
             n_win = -(-N // win)
             padded = np.concatenate(
-                [ray_live, np.full(n_win * win - N, ray_live[-1], bool)]
+                [ray_live, np.tile(ray_live[:, -1:], n_win * win - N)],
+                axis=1,
             )
-            return float(padded.reshape(n_win, win).mean(axis=1).max())
+            return float(
+                padded.reshape(D, n_win, win).mean(axis=2).max()
+            )
 
         def quantize(frac: float) -> float:
-            q = np.ceil(min(frac * margin, 1.0) * 16) / 16
-            return float(np.clip(q, 0.0625, 1.0))
+            q = (np.ceil(min(frac, 1.0) * 64) + 1) / 64
+            return float(np.clip(q, 1 / 32, 1.0))
 
         cap_c = quantize(fc)
         cap_f = None
@@ -493,8 +522,9 @@ class RenderPipeline:
         fr = worst_window(chunk)
         print(
             f"accel: occupancy {occupancy_fraction(self.accel):.3f}, "
-            f"ray live max/mean {fr:.3f}/{ray_live.mean():.3f} -> "
-            f"ray capacity {cap_r}; sample live {fc:.3f} -> "
+            f"ray live max/mean {fr:.3f}/{ray_live[0].mean():.3f} "
+            f"({D - 1} jitter draws) -> ray capacity {cap_r}; "
+            f"sample live {fc:.3f} -> "
             f"capacities {cap_c}/{cap_f}; chunk {chunk}",
             file=sys.stderr,
         )

@@ -62,11 +62,18 @@ def prepare_ray_batch(
     z_far: float,
     use_bbox: bool,
     rng: np.random.Generator,
+    fg_frac: float = 0.0,
 ) -> Optional[dict]:
     """Sample per-object pixel rays + source views (reference train.py:237-330).
 
     :param data: collated batch (images (SB,NV,H,W,3) in [-1,1], poses, focal,
         optional c/bbox)
+    :param fg_frac: fraction of each object's rays drawn uniformly from
+        mask-POSITIVE pixels (needs ``data["masks"]``), the rest uniform over
+        all pixels.  Sharper than the reference's bbox warmup for scattered
+        foreground (multi-object / thin structures): a bbox over fragments is
+        mostly background, so bbox-guided batches still drown the object
+        gradient — mask-guided batches cannot.  0 disables (default).
     :return: dict with src_images (SB,NS,H,W,3), src_poses, focal, c, rays
         (SB,R,8), rgb_gt (SB,R,3), and mask_gt (SB,R) when the batch carries
         per-view masks (all shipped dataset adapters do)
@@ -101,7 +108,20 @@ def prepare_ray_batch(
                 all_bboxes[obj_idx], ray_batch_size, rng
             )
         else:
+            n_fg = 0
+            fg_flat = None
+            if fg_frac > 0.0 and "masks" in data:
+                fg_flat = np.flatnonzero(
+                    np.asarray(data["masks"][obj_idx])[..., 0].reshape(-1)
+                    > 0.5
+                )
+                if fg_flat.size:
+                    n_fg = int(round(ray_batch_size * min(fg_frac, 1.0)))
             flat = rng.integers(0, NV * H * W, (ray_batch_size,))
+            if n_fg:
+                flat[:n_fg] = fg_flat[
+                    rng.integers(0, fg_flat.size, (n_fg,))
+                ]
             pix = np.stack(
                 [flat // (H * W), (flat // W) % H, flat % W], axis=-1
             )
@@ -630,10 +650,13 @@ class Trainer:
             # defaults to an effectively-unbounded sentinel (args.py), and a
             # horizon of steps_per_epoch x 10^7 would hold lr at the full
             # peak forever — the documented decay silently never happening.
+            # args.py's default_num_epochs (the unbounded sentinel) is
+            # 10,000,000 — any epoch count below THAT is a user-provided
+            # finite horizon and must be honored
             epochs = int(getattr(args, "epochs", 0) or 0)
             total = tc(
                 "lr_total_steps",
-                steps_per_epoch * epochs if 0 < epochs < 1_000_000 else 0,
+                steps_per_epoch * epochs if 0 < epochs < 10_000_000 else 0,
             )
             if int(total) <= 0:
                 raise ValueError(
@@ -769,6 +792,9 @@ class Trainer:
         self.jrng = device_rng if device_rng is not None else jax.random.PRNGKey(7)
 
         self.use_bbox = getattr(args, "no_bbox_step", 100000) > 0
+        # mask-guided foreground ray sampling (train.fg_sample_frac): the
+        # scattered-foreground rescue — see prepare_ray_batch's fg_frac
+        self.fg_sample_frac = tc("fg_sample_frac", 0.0)
         self.nviews: List[int] = [
             int(x) for x in str(getattr(args, "nviews", "1")).split()
         ]
@@ -894,6 +920,7 @@ class Trainer:
             self.z_far,
             use_bbox,
             self.rng,
+            fg_frac=self.fg_sample_frac if is_train else 0.0,
         )
         return batch
 

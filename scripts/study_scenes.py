@@ -81,7 +81,9 @@ DEFAULT_CASES = [
 ]
 _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
           "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS",
-          "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R")
+          "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R",
+          "BENCH_TRAIN_FG", "BENCH_TRAIN_POLISH", "BENCH_TRAIN_POLISH_LR",
+          "BENCH_TRAIN_POLISH_ALPHA")
 
 
 def _traced_gt(s):
@@ -225,6 +227,15 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int = 0,
     for rung, p in psnrs.items():
         row[f"psnr_{rung}"] = round(p, 1)
     row["mode"] = mode
+    if s.pipeline.accel is not None:
+        # record the settled compaction operating point (capacity-quantizer
+        # studies read these off the row instead of scraping stderr)
+        cfg_now = s.pipeline.renderer.base_cfg
+        row["cap_rays"] = cfg_now.accel_capacity_rays
+        row["cap_samples"] = cfg_now.accel_capacity
+        row["cap_fine"] = cfg_now.accel_capacity_fine
+        row["proposal_samples"] = cfg_now.accel_proposal_samples
+        row["accel_chunk"] = s.pipeline.accel_chunk
 
     if s.pipeline.accel is not None:
         s.pipeline.render_simple(

@@ -21,6 +21,38 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA:CPU compile cache, fingerprinted by host CPU features.
+# args.enable_compilation_cache deliberately skips CPU because reusing AOT
+# results across host-feature mismatches risks SIGILL; keying the cache dir
+# on the feature flags removes that risk while letting repeat fast-tier runs
+# skip their dominant cost (jit compiles of the model/render programs — the
+# tier's wall time is mostly XLA compilation, measured 195s cold).
+def _enable_cpu_compile_cache():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith(("flags", "Features"))]
+        if not flags:
+            return
+        fp = hashlib.sha1(flags[0].encode()).hexdigest()[:12]
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "pixelnerf_tpu",
+            f"xla-cpu-{fp}",
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        # CPU test programs compile in ~0.1-10s each; cache them all
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
+    except Exception:
+        pass  # cache is an optimization only
+
+
+_enable_cpu_compile_cache()
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", jax.default_backend()

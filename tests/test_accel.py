@@ -309,7 +309,7 @@ def test_pipeline_build_accel_and_render(monkeypatch):
     focal = np.float32(sample["focal"])
     imgs = jnp.asarray(sample["images"][None, :1])
     poses = jnp.asarray(sample["poses"][None, :1])
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         imgs,
         poses,
@@ -654,7 +654,7 @@ def test_mesh_sharded_accel_render_matches_single_device():
     focal = np.float32(sample["focal"])
     imgs = jnp.asarray(sample["images"][None, :1])
     poses = jnp.asarray(sample["poses"][None, :1])
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0), imgs, poses, jnp.asarray(focal),
         jnp.zeros((1, 4, 3), jnp.float32), jnp.zeros((1, 4, 3), jnp.float32),
     )

@@ -182,7 +182,7 @@ def test_monitor_and_diagnostic(tmp_path, capsys):
     )
     net = make_model(conf["model"])
     s = ds[0]
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(s["images"][None, :1]),
         jnp.asarray(s["poses"][None, :1]),
@@ -212,7 +212,7 @@ def test_conv_encoder_path():
     poses = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1)).reshape(1, 1, 4, 4)
     poses[..., 2, 3] = 1.4
     xyz = (rng.normal(size=(1, 6, 3)) * 0.3).astype(np.float32)
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(poses),
         jnp.asarray(np.float32(20.0)), jnp.asarray(xyz), None,
     )

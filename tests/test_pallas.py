@@ -193,7 +193,7 @@ def test_query_fused_gather_matches_dense_query():
     xyz = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32) * 0.3)
     vd = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
 
-    variables = net_x.init(jax.random.PRNGKey(0), images, poses, focal, xyz, vd)
+    variables = jax.jit(net_x.init)(jax.random.PRNGKey(0), images, poses, focal, xyz, vd)
     scene = net_x.apply(variables, images, poses, focal, method=PixelNeRFNet.encode)
     ref = net_x.apply(
         variables, scene, xyz, viewdirs=vd, method=PixelNeRFNet.query
