@@ -309,7 +309,19 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # peak over-drives (docs/PERFORMANCE.md); at the tail, with the RGB loss
     # already converged, it only pushes accumulated alpha toward the mask —
     # i.e. it deletes density exactly where the mask says empty.
-    polish = int(os.environ.get("BENCH_TRAIN_POLISH", "0"))
+    # Default ON for the cosine recipe (round 5): measured same-day ladder
+    # cosine 907.2k rays/s (worst-window liveness 0.497 -> cap 0.52) ->
+    # polish100 980.7k (cap 0.4375) -> polish200 1,030.3k (cap 0.406), vs
+    # the const-legacy control's 1,001.0k — the polish recovers MORE than
+    # the round-4 regression at ~7s steady (+ one cached compile) while the
+    # 800-step train line stays intact (4.2x the r3 control, warm).  The
+    # const control recipe stays unpolished — it is the frozen r2/r3
+    # comparison point.
+    polish = int(
+        os.environ.get(
+            "BENCH_TRAIN_POLISH", "200" if sched == "cosine" else "0"
+        )
+    )
     polish_s = 0.0
     if polish > 0:
         t_p0 = time.perf_counter()
@@ -443,6 +455,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
             "warmup": warmup, "rays_per_step": R,
             "alpha": lambda_alpha_mask, "bbox_frac": bbox_frac,
             "fg_frac": fg_frac, "noise": noise0, "coarse": cfg.n_coarse,
+            "polish": polish,
             "loss_final": round(loss_final, 5),
         },
     }
