@@ -554,8 +554,14 @@ def setup_scene():
     np.asarray(jnp.zeros((1,), jnp.float32))
     subphase("tunnel_warmup")
 
+    # BENCH_TRAIN_VIEWS: supervision views in the synthetic scene (default
+    # 4).  GT-fidelity studies raise it — with 4 views the field's novel-
+    # pose PSNR vs the analytic tracer ceilings in the teens regardless of
+    # steps (docs/studies/r5_study.jsonl "hifi"), which is a supervision
+    # limit, not a capacity one.
+    n_sup_views = int(os.environ.get("BENCH_TRAIN_VIEWS", 0)) or max(4, ns)
     ds = SyntheticDataset(
-        n_objs=1, n_views=max(4, ns), image_size=(H, W),
+        n_objs=1, n_views=n_sup_views, image_size=(H, W),
         scene_kind=scene_kind, z_range=z_range,
     )
     sample = ds[0]

@@ -83,7 +83,7 @@ _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
           "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS",
           "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R",
           "BENCH_TRAIN_FG", "BENCH_TRAIN_POLISH", "BENCH_TRAIN_POLISH_LR",
-          "BENCH_TRAIN_POLISH_ALPHA")
+          "BENCH_TRAIN_POLISH_ALPHA", "BENCH_TRAIN_VIEWS")
 
 
 def _traced_gt(s):
