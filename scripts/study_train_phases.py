@@ -288,30 +288,58 @@ def main():
         method=PixelNeRFNet.encode,
     )
 
+    cast16 = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        t,
+    )
+    scene16 = frozen_scene.replace(latents=cast16(frozen_scene.latents))
+
     def field_loss(params):
-        qvars = {"params": params,
+        # bf16 operands like the real step's AMP path — an f32 field here
+        # runs the slow multi-pass MXU path and is not comparable
+        qvars = {"params": cast16(params),
                  "batch_stats": variables.get("batch_stats", {})}
         out = net.apply(
-            qvars, frozen_scene, pts,
+            qvars, scene16, pts,
             viewdirs=dirs if use_viewdirs else None,
             coarse=True, planar_out=True,
+            compute_dtype=jnp.bfloat16,
             method=PixelNeRFNet.query,
         )
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    field_grad = jax.jit(jax.grad(field_loss))
-    g = field_grad(variables["params"])
-    jax.block_until_ready(g)
-    times = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        g = field_grad(variables["params"])
-        jax.block_until_ready(g)
-        times.append(time.perf_counter() - t0)
-    t_field = float(np.median(times) * 1e3)
-    emit({"variant": "field_only(fwd+bwd)", "ms_per_step": round(t_field, 2),
-          "n_points": n_pts})
+    def time_jit(fn, label, **extra):
+        jfn = jax.jit(fn)
+        out = jfn(variables["params"])
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            out = jfn(variables["params"])
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times) * 1e3)
+        emit({"variant": label, "ms_per_step": round(ms, 2),
+              "n_points": n_pts, **extra})
+        return ms
 
+    t_field_f = time_jit(field_loss, "field_only(fwd)")
+    t_field = time_jit(jax.grad(field_loss), "field_only(fwd+bwd)")
+
+    # model-math roofline for the step (3x-forward accounting, bf16 peak)
+    mc = conf["model"]["mlp_coarse"]
+    H = mc.get_int("d_hidden", 512)
+    nb = mc.get_int("n_blocks", 5)
+    cl = min(mc.get_int("combine_layer", 3), nb)
+    code = conf["model"].get("code", hocon.ConfigTree({}))
+    d_in = 3 * (2 * code.get_int("num_freqs", 6) + 1) + (
+        3 if use_viewdirs else 0
+    )
+    mac = d_in * H + cl * 512 * H + nb * 2 * H * H + H * 4
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+    roofline_ms = 3 * 2 * mac * n_pts / peak * 1e3
     emit({
         "variant": "attribution",
         "full_ms": round(t_full, 2),
@@ -319,8 +347,11 @@ def main():
         "encoder_bwd_ms": round(t_full - t_nograd, 2),
         "encoder_fwd_ms": round(t_nograd - t_frozen, 2),
         "backward_total_ms": round(t_full - t_fwd, 2),
+        "field_fwd_ms": round(t_field_f, 2),
         "field_fwdbwd_ms": round(t_field, 2),
         "glue_ms": round(t_frozen - t_field, 2),
+        "roofline_ms": round(roofline_ms, 2),
+        "mfu_full": round(roofline_ms / t_full, 3),
     })
 
 
