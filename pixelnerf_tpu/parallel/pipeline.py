@@ -22,6 +22,7 @@ host loop only for gigantic batches (bounds output-buffer memory).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -85,6 +86,42 @@ def _live_point_evals(cfg, chunk: int, cap_r: float, cap_c: float,
     else:
         per = cfg.n_coarse + (union if cfg.using_fine else 0)
     return chunk * cap_r * per
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _capacity_probe(grid, rays, key, kc: int, n_draws: int):
+    """Liveness of ``rays`` against ``grid`` under ``n_draws`` z ladders —
+    draw 0 probes bin midpoints, draws 1.. probe stratified z's (the
+    render's sample_coarse distribution; the caller passes a fixed key so
+    the measured capacity, and therefore the compiled render shape, is
+    stable across runs).
+
+    Runs entirely on device from the (n, 8) ray array: building the
+    (D, n, kc, 3) point cloud host-side cost ~100 MB of single-core numpy
+    + H2D per 65536-ray chunk (measured: capacity probe 2.2 s -> 9-40 s
+    when the jitter draws landed host-side); here it is a 2 MB ray upload
+    and a (D, n) bool fetch.  Module-level + grid-as-argument so the
+    compiled program is reused across grid builds (eval --accel rebuilds
+    per object).
+
+    :return: (ray_live (D, n) bool — any probe sample occupied,
+              samp_live (D,) float32 — total live samples per draw)
+    """
+    from ..render.accel import occupancy_lookup
+
+    n = rays.shape[0]
+    base = (jnp.arange(kc, dtype=jnp.float32) / kc)[None, None]
+    u = jnp.concatenate(
+        [
+            jnp.full((1, n, kc), 0.5, jnp.float32),
+            jax.random.uniform(key, (n_draws - 1, n, kc)),
+        ]
+    )
+    t = base + u / kc  # (D, n, kc)
+    z = rays[None, :, 6:7] + t * (rays[None, :, 7:8] - rays[None, :, 6:7])
+    pts = rays[None, :, None, :3] + z[..., None] * rays[None, :, None, 3:6]
+    live = occupancy_lookup(grid, pts)
+    return live.any(axis=-1), live.sum(axis=(1, 2), dtype=jnp.float32)
 
 
 class RenderPipeline:
@@ -425,7 +462,7 @@ class RenderPipeline:
         """
         import sys
 
-        from ..render.accel import occupancy_fraction, occupancy_lookup
+        from ..render.accel import occupancy_fraction
 
         cfg = self.renderer.cfg
         # probe with the same z ladder the render will use (proposal mode may
@@ -435,34 +472,26 @@ class RenderPipeline:
             kc = cfg.accel_probe_samples
         N = rays_np.shape[0]
         D = 1 + max(int(n_jitter_draws), 0)
-        # draw 0: bin midpoints; draws 1..: stratified, one fixed-seed
-        # uniform per (draw, ray, bin) — same distribution as the render's
-        # sample_coarse, deterministic so the chosen capacity (and therefore
-        # the compiled program shape) is stable across runs
-        jit_rng = np.random.default_rng(0)
 
+        # The whole probe runs ON DEVICE from the (N, 8) ray array: draw 0
+        # probes bin midpoints, draws 1.. probe stratified z's (one fixed-key
+        # uniform per (draw, ray, bin) — the render's sample_coarse
+        # distribution; a fixed key keeps the chosen capacity, and therefore
+        # the compiled render shape, stable across runs).  Building the
+        # (D, n, kc, 3) point cloud host-side cost ~100 MB of single-core
+        # numpy + H2D per 65536-ray chunk (measured: capacity probe 2.2 s ->
+        # 9-40 s when the jitter draws landed host-side); on device it is a
+        # 2 MB ray upload and a (D, n) bool fetch.
         ray_live = np.empty((D, N), bool)
         samp_live = np.zeros(D, np.float64)
-        look = jax.jit(lambda p: occupancy_lookup(self.accel, p))
-        base = (np.arange(kc, dtype=np.float32) / kc)[None, None]
-        for s in range(0, N, 65536):
-            sub = rays_np[s : s + 65536]
-            n_sub = sub.shape[0]
-            u = np.concatenate(
-                [
-                    np.full((1, n_sub, kc), 0.5, np.float32),
-                    jit_rng.random((D - 1, n_sub, kc), np.float32),
-                ]
+        for i, s in enumerate(range(0, N, 65536)):
+            sub = jnp.asarray(rays_np[s : s + 65536])
+            live, counts = _capacity_probe(
+                self.accel, sub,
+                jax.random.fold_in(jax.random.PRNGKey(0), i), kc, D,
             )
-            t = base + u / kc  # (D, n_sub, kc)
-            z = sub[None, :, 6:7] + t * (sub[None, :, 7:8] - sub[None, :, 6:7])
-            pts = (
-                sub[None, :, None, :3]
-                + z[..., None] * sub[None, :, None, 3:6]
-            )
-            live = np.asarray(look(jnp.asarray(pts)))
-            ray_live[:, s : s + 65536] = live.any(axis=-1)
-            samp_live += live.sum(axis=(1, 2), dtype=np.float64)
+            ray_live[:, s : s + 65536] = np.asarray(live)
+            samp_live += np.asarray(counts, np.float64)
         fc_per_draw = samp_live / (N * kc)
         fc = float(fc_per_draw.max())
 
