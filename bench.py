@@ -970,7 +970,12 @@ def main():
         # degenerate render
         mode = os.environ.get("BENCH_ACCEL_MODE", "proposal")
         pipeline.set_accel_mode(mode)
-        pipeline.build_accel(variables, scene, rays, ray_batch_size=chunk)
+        # BENCH_ACCEL_RES: occupancy-grid resolution (default 96) — thin-
+        # structure scenes are the case a finer grid could help
+        pipeline.build_accel(
+            variables, scene, rays, ray_batch_size=chunk,
+            resolution=int(os.environ.get("BENCH_ACCEL_RES", 96)),
+        )
         log(f"bench: accel grid built in {time.perf_counter() - t0:.1f}s")
         phase("grid_build")
         # shared quality ladder (RenderPipeline.gate_accel_mode):

@@ -83,7 +83,8 @@ _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
           "BENCH_TRAIN_BBOX_FRAC", "BENCH_TRAIN_LR", "BENCH_TRAIN_STEPS",
           "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R",
           "BENCH_TRAIN_FG", "BENCH_TRAIN_POLISH", "BENCH_TRAIN_POLISH_LR",
-          "BENCH_TRAIN_POLISH_ALPHA", "BENCH_TRAIN_VIEWS")
+          "BENCH_TRAIN_POLISH_ALPHA", "BENCH_TRAIN_VIEWS",
+          "BENCH_ACCEL_RES")
 
 
 def _traced_gt(s):
@@ -205,7 +206,10 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int = 0,
     t0 = time.perf_counter()
     mode = "proposal"
     s.pipeline.set_accel_mode(mode)
-    s.pipeline.build_accel(s.variables, s.scene, s.rays, ray_batch_size=s.chunk)
+    s.pipeline.build_accel(
+        s.variables, s.scene, s.rays, ray_batch_size=s.chunk,
+        resolution=int(os.environ.get("BENCH_ACCEL_RES", 96)),
+    )
     row["grid_build_s"] = round(time.perf_counter() - t0, 2)
     if s.pipeline.accel is None:
         # the build itself stepped down (grid nearly fully occupied — e.g.
