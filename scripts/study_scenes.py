@@ -40,30 +40,24 @@ import bench
 # white-bkgd override keeps compositing consistent with the white-background
 # synthetic tracer.
 #
-# Per-case training recipe: the sphere control keeps the round-2 recipe
-# (positive-bias init, uniform rays).  Every non-sphere family needs the
-# mask-supervised alpha loss — the RGB loss alone collapses multi3/offcenter
-# to the all-white solution under every other knob (measured, see
-# bench.quick_train) — plus the bbox warmup, and the wide z span (0.45-2.4)
-# needs 2x the coarse samples to keep round-2's sample spacing.  The big
-# dtu-conf MLP needs the same rescue (probe-measured on TPU: RGB-only 4000
-# steps -> fg 0.0 loss 0.25; alpha 0.1 alone -> fg 0.0; alpha 1.0 + bbox 0.5
-# -> fg 0.295 vs traced-GT fg 0.230 at 2000 steps; adding the sigma-noise
-# anneal on top REGRESSES to fg 0.0).  The step count is part of the recipe:
-# quick_train's host-RNG batch stream depends on the step count, and the
-# same knobs at 4000 steps drew a stream that never escapes the plateau
-# (loss 0.95 -> 0.96, fg 0.0) — so the dtu case pins the probe-validated
-# 2000 (a case env's BENCH_TRAIN_STEPS overrides everything else).
-# The hard-case recipes were probe-validated under the CONSTANT-lr 1e-4
-# schedule at specific step counts; pin the whole recipe explicitly
-# (bench.py's round-4 default is the swept 800-step warmup+cosine 2e-4 —
-# validated on the sphere control, not on these adversarial families).
+# Per-case training recipe: the sphere control keeps the bench default.
+# Every non-sphere family needs the mask-supervised alpha loss (the RGB
+# loss alone collapses scattered-foreground scenes to the all-white
+# solution) and 2x the coarse samples for the wide z span (0.45-2.4).
+# ROUND 5: the alpha loss works now — rounds 3-4 probed it with bench
+# quick_train feeding step 0's mask to every step (supervising alpha at
+# the wrong pixels), which is why every const-schedule rescue collapsed.
+# With per-step masks, the bench's own warmup+cosine default + alpha 1.0
+# trains multi3/thin/offcenter/cluster first try (docs/SCENES.md "trained
+# in round 5"); constant-lr variants still collapse — the warmup is
+# load-bearing, so _HARD deliberately does NOT pin a schedule and rides
+# the bench default.  The dtu acceptance case keeps its probe-validated
+# const-2000 pin (its big MLP recipe was validated before the mask fix
+# and still converges).
 # Control rows carry NO overrides so they always run the bench's CURRENT
 # default recipe — the study's job is to validate accel under the same
 # protocol the published bench numbers use.
-_HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
-         "BENCH_TRAIN_COARSE": "64", "BENCH_TRAIN_STEPS": "4000",
-         "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
+_HARD = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_COARSE": "64"}
 _DTU = {"BENCH_TRAIN_ALPHA": "1.0", "BENCH_TRAIN_BBOX_FRAC": "0.5",
         "BENCH_TRAIN_STEPS": "2000",
         "BENCH_TRAIN_SCHED": "const", "BENCH_TRAIN_LR": "1e-4"}
