@@ -702,6 +702,52 @@ def test_mesh_sharded_accel_render_matches_single_device():
     np.testing.assert_allclose(depth8, depth1, atol=2e-5)
 
 
+def test_capacity_probe_matches_host_midpoints_and_is_deterministic():
+    """The on-device capacity probe's draw 0 must equal a host-side midpoint
+    liveness computation, jittered draws must be conservative supersets of
+    nothing (bounded by [base, base+1/kc) bins), and repeated calls with the
+    same key must agree exactly (capacity stability across runs)."""
+    from pixelnerf_tpu.parallel.pipeline import _capacity_probe
+
+    R = 8
+    occ = np.zeros((R, R, R), np.float32)
+    occ[:, :, :4] = 1.0  # z < 0.5 occupied
+    grid = OccupancyGrid(
+        occ=jnp.asarray(occ.reshape(-1)),
+        lo=jnp.zeros(3),
+        inv_cell=jnp.full((3,), float(R)),
+        resolution=R,
+    )
+    N, kc, D = 512, 8, 4
+    rng = np.random.default_rng(5)
+    origins = rng.uniform(0.0, 1.0, (N, 3)).astype(np.float32)
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    rays = np.concatenate(
+        [origins, dirs, np.zeros((N, 1), np.float32),
+         np.full((N, 1), 0.25, np.float32)], axis=1,
+    )
+    key = jax.random.PRNGKey(0)
+    live, counts = _capacity_probe(grid, jnp.asarray(rays), key, kc, D)
+    live = np.asarray(live)
+    assert live.shape == (D, N) and np.asarray(counts).shape == (D,)
+
+    # draw 0 == host midpoint ladder
+    t = (np.arange(kc, dtype=np.float32) + 0.5) / kc
+    z = rays[:, 6:7] + t[None] * (rays[:, 7:8] - rays[:, 6:7])
+    pts = rays[:, None, :3] + z[..., None] * rays[:, None, 3:6]
+    host_live = np.asarray(occupancy_lookup(grid, jnp.asarray(pts))).any(-1)
+    np.testing.assert_array_equal(live[0], host_live)
+    assert float(np.asarray(counts)[0]) == float(
+        np.asarray(occupancy_lookup(grid, jnp.asarray(pts))).sum()
+    )
+
+    # deterministic: same key -> identical liveness (capacity, and thus the
+    # compiled render shape, must not wobble across runs)
+    live2, counts2 = _capacity_probe(grid, jnp.asarray(rays), key, kc, D)
+    np.testing.assert_array_equal(live, np.asarray(live2))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts2))
+
+
 def test_capacity_window_matches_effective_chunk():
     """Capacity sizing must cover the WORST render chunk.  The effective
     chunk is min(device_chunk, ray_batch_size) (pipeline._dispatch), so when
