@@ -509,6 +509,11 @@ def setup_scene():
         else os.path.join(here, "conf", "exp", f"{conf_name}.conf")
     )
     conf = hocon.parse_file(conf_path)
+    # BENCH_SIGMA_ACT=softplus: dead-zone-free density head (model conf
+    # `sigma_activation`), the rescue knob for scenes whose tiny foreground
+    # fraction dead-relus the whole field (docs/SCENES.md "offcenter")
+    if os.environ.get("BENCH_SIGMA_ACT"):
+        conf.put("model.sigma_activation", os.environ["BENCH_SIGMA_ACT"])
     # "auto": fused Pallas kernel on TPU, plain XLA elsewhere (CPU dry runs)
     mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl)
@@ -787,6 +792,8 @@ def bench_train():
         else os.path.join(here, "conf", "exp", f"{conf_name}.conf")
     )
     conf = hocon.parse_file(conf_path)
+    if os.environ.get("BENCH_SIGMA_ACT"):
+        conf.put("model.sigma_activation", os.environ["BENCH_SIGMA_ACT"])
     mlp_impl = "auto" if os.environ.get("BENCH_PALLAS", "1") != "0" else "xla"
     net = make_model(conf["model"], mlp_impl=mlp_impl, diff_mode=True)
     use_viewdirs = net.conf.get_bool("use_viewdirs", False)

@@ -23,6 +23,23 @@ from ..utils import geometry  # host-side pose constructors (numpy)
 from .base import CV_TO_GL, BaseDataset, mask_to_bbox
 
 
+def _pix_coords(n: int, ss: int) -> np.ndarray:
+    """Pixel-coordinate sample positions along one axis: the pixel centers
+    (ss=1) or the ss subpixel centers of each pixel (ss>1), in the SAME
+    pixel coordinate frame — pixel i spans [i-0.5, i+0.5)."""
+    if ss == 1:
+        return np.arange(n, dtype=np.float32)
+    return (np.arange(n * ss, dtype=np.float32) + 0.5) / ss - 0.5
+
+
+def _box_down(img: np.ndarray, ss: int) -> np.ndarray:
+    """Average ss x ss subpixel blocks back to the target resolution."""
+    if ss == 1:
+        return img
+    h, w = img.shape[0] // ss, img.shape[1] // ss
+    return img.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
+
+
 def render_sphere_image(
     c2w: np.ndarray,
     width: int,
@@ -34,18 +51,23 @@ def render_sphere_image(
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.45),
     c: Optional[Tuple[float, float]] = None,
     focal_y: Optional[float] = None,
+    supersample: int = 1,
 ) -> np.ndarray:
     """Ray-trace a two-tone Lambert sphere at the origin -> (H, W, 3) in [0, 1].
 
     Pure numpy (no device needed): ray math replicates utils.geometry.gen_rays /
     unproj_map exactly so generated cameras are consistent with the framework.
     ``c`` / ``focal_y`` support off-center and anisotropic intrinsics
-    (adversarial DTU fixtures).
+    (adversarial DTU fixtures).  ``supersample`` traces ss*ss rays per pixel
+    and box-averages — the pixel-integrated (anti-aliased) ground truth a
+    band-limited volumetric renderer should be scored against.
     """
+    ss = int(supersample)
     cx, cy = (width * 0.5, height * 0.5) if c is None else c
     fy = focal if focal_y is None else focal_y
-    xs = (np.arange(width, dtype=np.float32) - cx) / focal
-    ys = (np.arange(height, dtype=np.float32) - cy) / fy
+    xs = (_pix_coords(width, ss) - cx) / focal
+    ys = (_pix_coords(height, ss) - cy) / fy
+    width, height = width * ss, height * ss
     X, Y = np.meshgrid(xs, ys)
     dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -68,7 +90,7 @@ def render_sphere_image(
     )
     img = np.ones((height, width, 3), np.float32)
     img[hit] = (base * lam[..., None])[hit]
-    return np.clip(img, 0.0, 1.0)
+    return _box_down(np.clip(img, 0.0, 1.0), ss)
 
 
 def render_scene_image(
@@ -78,6 +100,7 @@ def render_scene_image(
     focal: float,
     objects,
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.45),
+    supersample: int = 1,
 ) -> np.ndarray:
     """Ray-trace a multi-ellipsoid scene -> (H, W, 3) in [0, 1].
 
@@ -88,9 +111,11 @@ def render_scene_image(
     round-2 numbers were all single-sphere): multi-object scenes, thin
     rods/plates (chair legs), off-center objects, large-foreground blobs.
     """
+    ss = int(supersample)
     cx, cy = width * 0.5, height * 0.5
-    xs = (np.arange(width, dtype=np.float32) - cx) / focal
-    ys = (np.arange(height, dtype=np.float32) - cy) / focal
+    xs = (_pix_coords(width, ss) - cx) / focal
+    ys = (_pix_coords(height, ss) - cy) / focal
+    width, height = width * ss, height * ss
     X, Y = np.meshgrid(xs, ys)
     dirs = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -128,7 +153,7 @@ def render_scene_image(
         shaded = base * lam[..., None]
         img[hit] = shaded[hit]
         best_t = np.where(hit, t, best_t)
-    return np.clip(img, 0.0, 1.0)
+    return _box_down(np.clip(img, 0.0, 1.0), ss)
 
 
 def scene_objects(kind: str, rng: np.random.Generator):

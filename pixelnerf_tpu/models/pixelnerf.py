@@ -113,6 +113,20 @@ class PixelNeRFNet(nn.Module):
         self.use_code_viewdirs = conf.get_bool("use_code_viewdirs", True)
         self.use_viewdirs = conf.get_bool("use_viewdirs", False)
         self.use_global_encoder = conf.get_bool("use_global_encoder", False)
+        # Density activation.  The reference is hard-coded relu
+        # (models.py.backup2:279); "softplus" is a config-gated extension:
+        # relu's zero gradient below 0 is the measured collapse mode on
+        # scenes whose foreground occupies a tiny pixel fraction (the
+        # background-dominated first steps drive pre-relu sigma negative
+        # everywhere and it can never resurrect — docs/SCENES.md
+        # "offcenter").  Softplus has no dead zone, and softplus(x)≈relu(x)
+        # away from 0, so trained fields keep the same large-sigma surface
+        # behavior.
+        self.sigma_activation = conf.get_string("sigma_activation", "relu")
+        if self.sigma_activation not in ("relu", "softplus"):
+            raise NotImplementedError(
+                f"Unsupported sigma_activation {self.sigma_activation!r}"
+            )
 
         # encoder factory (reference model_util.make_encoder:18-26 + conv)
         enc_type = conf.get_string("encoder.type", "spatial")
@@ -563,13 +577,18 @@ class PixelNeRFNet(nn.Module):
             else:
                 out = out.reshape(SB, self.d_out, B)
             rgb = nn.sigmoid(out[:, :3])
-            sigma = nn.relu(out[:, 3:4])
+            sigma = self._sigma_act(out[:, 3:4])
             return jnp.concatenate([rgb, sigma], axis=1)
 
         out = out.reshape(SB, B, self.d_out)
         rgb = nn.sigmoid(out[..., :3])
-        sigma = nn.relu(out[..., 3:4])
+        sigma = self._sigma_act(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)
+
+    def _sigma_act(self, raw):
+        if self.sigma_activation == "softplus":
+            return nn.softplus(raw)
+        return nn.relu(raw)
 
     # ------------------------- init convenience -------------------------
     def __call__(

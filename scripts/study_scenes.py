@@ -78,11 +78,16 @@ _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
           "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R",
           "BENCH_TRAIN_FG", "BENCH_TRAIN_POLISH", "BENCH_TRAIN_POLISH_LR",
           "BENCH_TRAIN_POLISH_ALPHA", "BENCH_TRAIN_VIEWS",
-          "BENCH_ACCEL_RES")
+          "BENCH_ACCEL_RES", "BENCH_SIGMA_ACT")
 
 
-def _traced_gt(s):
-    """Trace the scene's analytic ground truth at the bench video poses."""
+def _traced_gt(s, supersample: int = 1):
+    """Trace the scene's analytic ground truth at the bench video poses.
+
+    ``supersample`` > 1 scores against the pixel-integrated (anti-aliased)
+    truth: the hard-edged point-sampled tracer carries aliasing energy a
+    band-limited volumetric renderer cannot (and should not) reproduce, so
+    the ss=1 column understates field fidelity at silhouettes."""
     from pixelnerf_tpu.data.synthetic import (
         _object_params,
         render_scene_image,
@@ -96,11 +101,13 @@ def _traced_gt(s):
     if s.scene_kind == "sphere":
         params = _object_params(rng)
         tracer = lambda p: render_sphere_image(
-            p, W, H, float(s.focal), **params
+            p, W, H, float(s.focal), supersample=supersample, **params
         )
     else:
         objs = scene_objects(s.scene_kind, rng)
-        tracer = lambda p: render_scene_image(p, W, H, float(s.focal), objs)
+        tracer = lambda p: render_scene_image(
+            p, W, H, float(s.focal), objs, supersample=supersample
+        )
     poses = np.stack(
         [
             geometry.pose_spherical(a, -15.0, 1.3)
@@ -112,6 +119,11 @@ def _traced_gt(s):
 
 def _psnr_vs_traced_gt(s, rgb_dense) -> float:
     return bench.psnr_vs(rgb_dense, _traced_gt(s))
+
+
+def _psnr_vs_traced_gt_aa(s, rgb_dense) -> float:
+    """Same field render scored against the 4x pixel-integrated truth."""
+    return bench.psnr_vs(rgb_dense, _traced_gt(s, supersample=4))
 
 
 def _traced_gt_fg(s) -> float:
@@ -188,6 +200,10 @@ def run_case(scene_kind: str, conf: str, ns: int, train_steps: int = 0,
     # whose field never learned the scene (all-background collapse) must say
     # so, not publish a vacuous speedup over empty space
     row["psnr_dense_gt"] = round(_psnr_vs_traced_gt(s, rgb_dense), 1)
+    # anti-aliased yardstick alongside (not replacing) the legacy column:
+    # prior-round rows stay comparable, and the aa column is the honest
+    # fidelity number for a band-limited renderer
+    row["psnr_dense_gt_aa"] = round(_psnr_vs_traced_gt_aa(s, rgb_dense), 1)
     row["trained"] = bool(
         fg_frac >= 0.5 * _traced_gt_fg(s) - 0.01 and fg_frac > 0.0
     )
@@ -308,7 +324,7 @@ def main():
     # markdown table for docs/SCENES.md
     cols = [
         "scene", "conf", "ns", "hw", "recipe", "fg_frac", "trained",
-        "psnr_dense_gt",
+        "psnr_dense_gt", "psnr_dense_gt_aa",
         "occ_frac", "grid_build_s", "mode", "psnr_proposal", "psnr_rays",
         "accel_rays_per_sec", "dense_rays_per_sec", "speedup_vs_dense",
         "grid_build_fast_s", "psnr_proposal_fastbuild",

@@ -479,3 +479,48 @@ def test_render_scene_image_matches_sphere_renderer():
               color2=(0.1, 0.4, 0.8))],
     )
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_tracer_supersampling_is_pixel_aligned():
+    """supersample=N must anti-alias edges without shifting the image: the
+    subpixel grid is centered on each pixel's footprint, so differences vs
+    ss=1 concentrate at silhouettes while interior pixels stay put."""
+    from pixelnerf_tpu.data.synthetic import (
+        render_scene_image,
+        render_sphere_image,
+        scene_objects,
+    )
+    from pixelnerf_tpu.utils.geometry import pose_spherical
+
+    pose = np.asarray(pose_spherical(35.0, -25.0, 1.4))
+    a = render_sphere_image(pose, 48, 48, 40.0)
+    b = render_sphere_image(pose, 48, 48, 40.0, supersample=4)
+    assert a.shape == b.shape == (48, 48, 3)
+    # AA only changes pixels whose 1-px neighborhood has image structure
+    # (silhouette OR the interior two-tone color split); smooth regions —
+    # shading gradients, flat background — must stay put, or the subpixel
+    # grid is mis-centered and the whole image shifted.
+    grad = np.zeros(a.shape[:2], bool)
+    for ax in (0, 1):
+        for sh in (1, -1):
+            grad |= np.abs(a - np.roll(a, sh, axis=ax)).max(axis=-1) > 0.05
+    smooth = ~grad
+    for ax in (0, 1):
+        for sh in (1, -1):
+            smooth &= ~np.roll(grad, sh, axis=ax)
+    assert smooth.sum() > 100  # the mask actually covers most of the image
+    assert np.abs(a - b)[smooth].max() < 0.02
+    hit = np.abs(a - 1.0).max(axis=-1) > 1e-6
+    bg = ~hit
+    for sh in (1, -1):
+        bg &= ~np.roll(hit, sh, axis=0) & ~np.roll(hit, sh, axis=1)
+    assert np.abs(a - b)[bg].max() < 1e-6
+    assert np.abs(a - b)[grad].max() > 0.05  # AA actually engaged
+
+    # multi-object tracer: same contract, and ss=1 stays the identity
+    objs = scene_objects("multi3", np.random.default_rng(0))
+    c = render_scene_image(pose, 48, 48, 40.0, objs)
+    d = render_scene_image(pose, 48, 48, 40.0, objs, supersample=1)
+    np.testing.assert_array_equal(c, d)
+    e = render_scene_image(pose, 48, 48, 40.0, objs, supersample=2)
+    assert 0 < np.abs(c - e).mean() < 0.05

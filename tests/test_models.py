@@ -319,6 +319,45 @@ def test_pixelnerf_shapes_and_ranges():
     assert np.isfinite(out).all()
 
 
+def test_pixelnerf_sigma_activation_softplus():
+    """`model.sigma_activation = softplus` (extension beyond the reference's
+    hard-coded relu, backup2:279): same param tree, strictly positive sigma
+    everywhere (no dead zone), and softplus(x) > relu(x) pointwise."""
+    conf_sp = SMALL_CONF.replace(
+        "use_encoder = True", "use_encoder = True\n    sigma_activation = softplus"
+    )
+    net, variables, images, poses, focal, xyz, viewdirs = _init_net()
+    net_sp = make_model(hocon.parse_string(conf_sp)["model"])
+    scene = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=PixelNeRFNet.encode,
+    )
+    q = lambda n: np.asarray(n.apply(
+        variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=PixelNeRFNet.query,
+    ))
+    out_relu, out_sp = q(net), q(net_sp)
+    # rgb path untouched
+    np.testing.assert_allclose(out_sp[..., :3], out_relu[..., :3], atol=1e-6)
+    sig_relu, sig_sp = out_relu[..., 3], out_sp[..., 3]
+    assert np.all(sig_sp > 0.0)
+    assert np.all(sig_sp > sig_relu)
+    # away from zero the two activations agree (softplus -> relu)
+    big = sig_relu > 4.0
+    if big.any():
+        np.testing.assert_allclose(sig_sp[big], sig_relu[big], atol=0.02)
+
+    with pytest.raises(NotImplementedError):
+        bad = SMALL_CONF.replace(
+            "use_encoder = True", "use_encoder = True\n    sigma_activation = exp"
+        )
+        net_bad = make_model(hocon.parse_string(bad)["model"])
+        net_bad.apply(
+            variables, scene, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+            method=PixelNeRFNet.query,
+        )
+
+
 def test_pixelnerf_query_jits_and_views_consistency():
     """Single view duplicated must equal NS=1 (average over identical views)."""
     net, variables, images, poses, focal, xyz, viewdirs = _init_net(NS=1, SB=1)
