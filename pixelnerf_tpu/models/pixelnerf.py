@@ -122,8 +122,14 @@ class PixelNeRFNet(nn.Module):
         # "offcenter").  Softplus has no dead zone, and softplus(x)≈relu(x)
         # away from 0, so trained fields keep the same large-sigma surface
         # behavior.
+        # "softplus_floor" adds a straight-through clip at raw = -4: forward
+        # density floors at softplus(-4) ~= 0.018 (a faint training haze)
+        # and the gradient w.r.t. raw never drops below sigmoid(-4) ~= 0.018
+        # — the background cannot run to raw -inf, so a starved foreground
+        # stays within bounded gradient distance of resurrection (the
+        # offcenter failure mode, docs/SCENES.md).
         self.sigma_activation = conf.get_string("sigma_activation", "relu")
-        if self.sigma_activation not in ("relu", "softplus"):
+        if self.sigma_activation not in ("relu", "softplus", "softplus_floor"):
             raise NotImplementedError(
                 f"Unsupported sigma_activation {self.sigma_activation!r}"
             )
@@ -587,6 +593,13 @@ class PixelNeRFNet(nn.Module):
 
     def _sigma_act(self, raw):
         if self.sigma_activation == "softplus":
+            return nn.softplus(raw)
+        if self.sigma_activation == "softplus_floor":
+            clipped = jnp.maximum(raw, -4.0)
+            # straight-through: forward sees the clipped value, backward
+            # passes gradient 1 through the clip — then softplus' bounds the
+            # total gradient below by sigmoid(-4), never zero
+            raw = raw + jax.lax.stop_gradient(clipped - raw)
             return nn.softplus(raw)
         return nn.relu(raw)
 

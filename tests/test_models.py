@@ -347,6 +347,20 @@ def test_pixelnerf_sigma_activation_softplus():
     if big.any():
         np.testing.assert_allclose(sig_sp[big], sig_relu[big], atol=0.02)
 
+    # softplus_floor: same params again, sigma floored at softplus(-4) and
+    # equal to plain softplus wherever raw > -4 (here raw is large positive)
+    conf_fl = SMALL_CONF.replace(
+        "use_encoder = True",
+        "use_encoder = True\n    sigma_activation = softplus_floor",
+    )
+    net_fl = make_model(hocon.parse_string(conf_fl)["model"])
+    out_fl = q(net_fl)
+    sig_fl = out_fl[..., 3]
+    assert np.all(sig_fl >= 0.018)
+    np.testing.assert_allclose(out_fl[..., :3], out_relu[..., :3], atol=1e-6)
+    above = sig_sp > 0.02  # raw > -4 region
+    np.testing.assert_allclose(sig_fl[above], sig_sp[above], atol=1e-5)
+
     with pytest.raises(NotImplementedError):
         bad = SMALL_CONF.replace(
             "use_encoder = True", "use_encoder = True\n    sigma_activation = exp"
