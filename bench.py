@@ -29,7 +29,10 @@ docs/BASELINE_MEASUREMENT.md (scripts/measure_baseline.py).
 Env knobs: BENCH_CONF, BENCH_PALLAS=0, BENCH_BF16=1, BENCH_RAY_CHUNK,
 BENCH_ACCEL=0 (dense timing), BENCH_TRAIN_STEPS=0 (random-init model),
 BENCH_SCENE/BENCH_NS (scene family, source views), BENCH_HW="76x100"
-(non-square frame), BENCH_WHITE_BKGD (compositing override).
+(non-square frame), BENCH_WHITE_BKGD (compositing override),
+BENCH_SIGMA_ACT (model density activation: relu | softplus |
+softplus_floor), BENCH_TRAIN_FG / BENCH_TRAIN_FG_END (mask-guided
+foreground ray fraction, optionally ramped per step as a curriculum).
 """
 
 import json
@@ -161,6 +164,14 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     # bbox warmup still drowns fragmented objects in background rays, mask-
     # guided sampling cannot
     fg_frac = float(os.environ.get("BENCH_TRAIN_FG", "0"))
+    # BENCH_TRAIN_FG_END: linear per-step ramp of the fg fraction from
+    # BENCH_TRAIN_FG to this value — the balanced curriculum for scenes
+    # whose supervision mix has no static operating point between white-
+    # collapse (background-dominated) and fog-collapse (foreground-forced):
+    # early foreground-heavy batches grow density at the object, the ramp
+    # hands off to uniform rgb so the background still carves
+    # (docs/SCENES.md "offcenter").  Default: no ramp.
+    fg_end = float(os.environ.get("BENCH_TRAIN_FG_END", str(fg_frac)))
     train_step, _ = make_step_fns(
         net, opt, cfg, 1.0, 1.0, l2_loss, l2_loss, use_viewdirs,
         # the fused kernel's custom VJP recomputes in VMEM — outer remat
@@ -173,7 +184,7 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
         "poses": sample["poses"][None],
         "focal": np.asarray([focal], np.float32),
     }
-    if lambda_alpha_mask > 0 or fg_frac > 0:
+    if lambda_alpha_mask > 0 or fg_frac > 0 or fg_end > 0:
         data["masks"] = sample["masks"][None]
     # pre-generate every ray batch on the host, then run ALL steps in one
     # lax.scan dispatch — per-step dispatches pay the device-tunnel round
@@ -200,10 +211,15 @@ def quick_train(net, variables, sample, focal, use_viewdirs, steps: int,
     )
     t_prep0 = time.perf_counter()
     R = int(os.environ.get("BENCH_TRAIN_R", 1024))
+    # identical stream when no ramp is requested (fg_sched constant ==
+    # fg_frac), so the published control recipes are untouched
+    fg_sched = np.linspace(fg_frac, fg_end, steps) if steps > 1 else (
+        np.full(max(steps, 1), fg_frac)
+    )
     batches = [
         prepare_ray_batch(
             bbox_data if use_bbox[i] else data, 1, R, z_near, z_far,
-            bool(use_bbox[i]), host_rng, fg_frac=fg_frac,
+            bool(use_bbox[i]), host_rng, fg_frac=float(fg_sched[i]),
         )
         for i in range(steps)
     ]

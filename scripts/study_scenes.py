@@ -78,7 +78,7 @@ _KNOBS = ("BENCH_TRAIN_ALPHA", "BENCH_TRAIN_COARSE", "BENCH_TRAIN_NOISE",
           "BENCH_TRAIN_SCHED", "BENCH_TRAIN_WARMUP", "BENCH_TRAIN_R",
           "BENCH_TRAIN_FG", "BENCH_TRAIN_POLISH", "BENCH_TRAIN_POLISH_LR",
           "BENCH_TRAIN_POLISH_ALPHA", "BENCH_TRAIN_VIEWS",
-          "BENCH_ACCEL_RES", "BENCH_SIGMA_ACT")
+          "BENCH_ACCEL_RES", "BENCH_SIGMA_ACT", "BENCH_TRAIN_FG_END")
 
 
 def _traced_gt(s, supersample: int = 1):
